@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (foreach-noop action, results never
+collected to the driver) and timed wall-clock. A warmup pass on the
+smallest table absorbs JVM/codegen startup so numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hive_feature_demo_spark.plans import REGISTRY  # noqa: E402
+from hive_feature_demo_spark.session import get_spark  # noqa: E402
+
+#: headline set: one per operator category, heaviest variants included.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_segment_revenue",
+    "q03_top_orders",
+    "q04_region_rollup",
+    "q07_topk_per_customer",
+    "q08_event_windows",
+    "q14_local_supply_revenue",
+    "q16_segment_stats_fans",
+    "q18_segment_customer_stats",
+    "q30_dedup_exact_clusters",
+    "q32_text_quality",
+    "q36_cosine_topk",
+    "q40_tumbling_hourly",
+    "q42_sessionization",
+    "q44_stream_static_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        # execute fully without driver-side materialization
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

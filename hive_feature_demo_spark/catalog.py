@@ -1,0 +1,75 @@
+"""Catalog: register driver testdata parquet files as queryable tables.
+
+The reference loads its one table at process start
+(``/root/reference/backend/tools.py:26-28``); our equivalent is registering
+the star-schema parquet files as named tables once per session so every
+operator addresses them via ``spark.table(name)`` / SQL.
+
+At 100 TB these would be Hive-metastore external tables partitioned on
+date/tenant keys; the register step is the same one-liner per table
+(``CREATE EXTERNAL TABLE ... USING PARQUET LOCATION ...``), so everything
+downstream is storage-agnostic. We use temp views here because the driver
+hands us bare parquet dirs per scale factor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view; return name -> DataFrame.
+
+    Parquet scans get predicate pushdown + column pruning from Catalyst for
+    free; no caching here (at 100 TB you cannot cache the fact tables, and
+    at test scale Spark's parquet reader is already fast).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = _normalize(spark.read.parquet(path))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table directly (no view registration needed)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize(df)
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    """Convert nanosecond-timestamp columns read as long (see session.py
+    ``nanosAsLong``) into microsecond timestamps, matching how DuckDB and
+    any µs-native engine sees the same file (floor truncation)."""
+    for field in df.schema.fields:
+        md = field.metadata or {}
+        if md.get("__nanos_as_long__") or (
+            field.name == "ts" and field.dataType.simpleString() == "bigint"
+        ):
+            # integer div: epoch-nanos (~1.8e18) exceed double's 2^53 mantissa
+            df = df.withColumn(
+                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
+            )
+    return df

@@ -1,0 +1,82 @@
+"""Deterministic numeric aggregation helpers.
+
+Distributed double summation is order-dependent (IEEE addition is not
+associative), so ``SUM(double)`` differs in the last ulps between runs,
+partitionings, and engines. That breaks hash-based correctness checks and
+makes results non-reproducible at any scale. The fix is to sum in exact
+decimal space: per-row values are cast to a fixed-scale DECIMAL (the per-row
+double expression is itself deterministic — same IEEE operations on both
+engines), summed exactly, and only then converted back to double.
+
+DECIMAL(25,10) holds 10 fractional digits — far beyond the 2-4 decimal
+digits of real money values, so the cast never loses information — and
+15 integral digits, enough for 100 TB-scale money sums (1e15).
+
+The matching DuckDB/ANSI spelling is produced by :func:`sql_exact_sum` /
+:func:`sql_exact_avg` so Spark query and oracle stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(25,10)"
+
+
+def exact_sum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def exact_avg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent double average: exact decimal sum / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def money(col: Column | str) -> Column:
+    """Round a double to 2 decimal places, HALF_EVEN (Python semantics).
+
+    The reference uses Python ``round`` (banker's rounding) for its
+    aggregates (``backend/tools.py:75-76``); Spark's ``F.round`` is HALF_UP
+    and would mismatch, ``F.bround`` matches.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.bround(c, 2)
+
+
+def round_det(col: Column | str, digits: int = 4) -> Column:
+    """Deterministic cross-engine rounding: ``floor(x*10^d + 0.5) / 10^d``.
+
+    ``F.round`` rounds the double's shortest decimal *representation*
+    (java BigDecimal.valueOf) while DuckDB rounds the true binary value —
+    they disagree whenever the printed decimal sits on a .5 boundary the
+    binary value is just below. The floor form is the same IEEE ops on both
+    engines, so results are bit-identical. Non-negative inputs only.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**digits)
+    return F.floor(c * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_round_det(expr: str, digits: int = 4) -> str:
+    """DuckDB/ANSI spelling of :func:`round_det`."""
+    scale = float(10**digits)
+    return f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})"
+
+
+def sql_exact_sum(expr: str) -> str:
+    """DuckDB/ANSI spelling of :func:`exact_sum` over ``expr``."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS DOUBLE)"
+
+
+def sql_exact_avg(expr: str) -> str:
+    """DuckDB/ANSI spelling of :func:`exact_avg` over ``expr``."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )

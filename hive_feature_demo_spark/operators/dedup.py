@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the point of each variant):
+
+- **exact**: hash-groupBy on a digest of the normalized text. One shuffle on
+  a 16-byte key; at 100 TB the digest (not the document) shuffles, so
+  network volume is rows x 16B. ``keep='min_id'`` makes survivor choice
+  deterministic.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted shingle
+  index (explode -> self-join on shingle -> count intersections). Cost is
+  sum over shingles of c^2 where c = docs sharing a shingle — fine for
+  candidate verification, quadratic in hot shingles; the MinHash path is the
+  100 TB pre-filter in front of it.
+- **MinHash+LSH**: signature = per-permutation min over shingle hashes;
+  band-bucket join yields candidate pairs with cost ~ sum of bucket^2,
+  tunable via (bands, rows). All hashing is closed-form column math
+  (``a*x+b mod p``) — deterministic, no ML-lib model state, identical
+  formula runs in the DuckDB oracle.
+- **SimHash**: 64-bit fingerprint from md5-nibble bit votes; near-dup =
+  small Hamming distance. One narrow pass + explode(64) vote aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.operators.textops import normalized_md5, tokens, word_shingles
+
+# Deterministic MinHash permutation parameters: h_i(x) = (a_i*x + b_i) mod p.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+_A_MULT = 1_103_515_245
+_B_MULT = 12_345
+
+
+def minhash_params(n_perm: int) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs — a simple LCG stream, identical in the oracle."""
+    return [
+        ((_A_MULT * (i + 1) + _B_MULT) % MINHASH_PRIME or 1, (_B_MULT * (i + 1) + 7) % MINHASH_PRIME)
+        for i in range(n_perm)
+    ]
+
+
+def exact_duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: digest, size, keeper id."""
+    return (
+        df.select(F.col(id_col), normalized_md5(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id row per normalized-text digest (deterministic survivor).
+
+    Implemented as a min-id aggregation + semi join rather than
+    ``dropDuplicates`` so the survivor is defined (dropDuplicates keeps an
+    arbitrary partition-order row).
+    """
+    keepers = (
+        df.select(F.col(id_col), normalized_md5(text_col).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Inverted index: (id, shingle) — distinct word n-grams per doc."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold)."""
+    sh = shingle_index(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_int(shingle_col):
+    """60-bit integer from the first 15 hex chars of the shingle's md5.
+
+    ``conv(hex,16,10)`` stays within int64 for 15 hex digits; the identical
+    value is computed oracle-side by folding hex nibbles.
+    """
+    return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_perm: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: columns mh_0..mh_{n_perm-1}.
+
+    Docs with fewer than ``n`` tokens have no shingles and drop out (they
+    cannot be near-duplicates under shingle Jaccard).
+    """
+    sh = shingle_index(df, id_col, text_col, n).withColumn("x", _shingle_int(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(n_perm))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    Shuffles on (band, band_digest) — bucket sizes, not the full pair
+    matrix, bound the cost. Returns distinct (id_a < id_b).
+    """
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_digest"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_digest")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_digest")
+    return (
+        a.join(b, ["band", "band_digest"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The full scale-path near-dup pipeline: LSH candidates -> exact verify.
+
+    Exact Jaccard runs only on LSH candidate pairs — the verification join
+    is a semi join of the (quadratic) exact method onto the (near-linear)
+    candidate set.
+    """
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, n, n_perm), id_col, bands, rows)
+    exact = jaccard_pairs(df, id_col, text_col, n, threshold)
+    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc as a 16-char hex string.
+
+    Bit j's vote = +1/-1 per distinct token whose md5 has bit j set; the
+    fingerprint sets bit j when the vote sum is positive. Bits come from
+    md5 hex nibbles (strpos into '0123456789abcdef'), so the identical
+    computation runs in ANSI SQL oracle-side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    # 64 bit positions per token: nibble = hex char j/4, bit = j%4
+    pos = F.sequence(F.lit(0), F.lit(63))
+    votes = toks.select(
+        F.col(id_col),
+        F.explode(pos).alias("j"),
+        F.col("h"),
+    ).select(
+        F.col(id_col),
+        "j",
+        (
+            F.shiftright(
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.col("h"), (F.floor(F.col("j") / 4) + 1).cast("int"), 1),
+                )
+                - 1,
+                0,
+            )
+        ).alias("nib_raw"),
+    )
+    # vote: bit set -> +1 else -1
+    votes = votes.select(
+        F.col(id_col),
+        "j",
+        F.when(
+            F.shiftright(F.col("nib_raw"), (F.col("j") % 4).cast("int")).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bits = (
+        votes.groupBy(id_col, "j")
+        .agg(F.sum("vote").alias("s"))
+        .select(
+            F.col(id_col),
+            "j",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+        )
+    )
+    # assemble hex: nibble n = sum(bit_j << (j%4)) for j in [4n, 4n+3]
+    nibs = (
+        bits.groupBy(id_col, F.floor(F.col("j") / 4).alias("nib_idx"))
+        .agg(F.sum(F.shiftleft(F.col("bit"), (F.col("j") % 4).cast("int"))).alias("nib_val"))
+        .select(
+            F.col(id_col),
+            "nib_idx",
+            F.substring(
+                F.lit("0123456789abcdef"), (F.col("nib_val") + 1).cast("int"), 1
+            ).alias("nib_hex"),
+        )
+    )
+    return (
+        nibs.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("nib_idx"), F.col("nib_hex")))
+                    ),
+                    lambda s: s["nib_hex"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,145 @@
+"""Vector similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; per-row dot products are array folds (JVM-side,
+  no UDF), selection via ranking window. At 100 TB the corpus side stays
+  partition-parallel; cost is linear in corpus x queries.
+- :func:`lsh_bucketed_topk` — the scale path: random-hyperplane signatures
+  (deterministic seeded planes) bucket the corpus; candidates only within
+  matching buckets, then exact re-rank. Recall is tunable via bits/tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.functions.numeric import round_det
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-fold dot product of two float arrays, in double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: ``query_id, neighbor_id, cos_sim, rank`` — ranking on the
+    rounded similarity with id tie-breaks so selection is fully
+    deterministic across engines and partitionings (raw float ordering
+    differs in the last ulp between platforms).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_det(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, library-free)."""
+    state = seed
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        plane = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            plane.append(state / float(1 << 31) - 0.5)
+        planes.append(plane)
+    return planes
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-projection signature: one bit per hyperplane (sign of dot)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, p: acc + p,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the random-projection bucket.
+
+    At 100 TB the corpus is scanned once to tag buckets (narrow), then the
+    join shuffles only on the short signature key. Approximate by
+    construction — callers trade recall for the dropped cross join.
+    """
+    planes = hyperplanes(dim, bits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        rp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        rp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_det(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is built-in column expressions (JVM-side, whole-stage
+codegen) — no Python UDFs. Every function returns Columns/DataFrames that
+scale linearly with no shuffle; aggregations downstream shuffle only on the
+caller's keys.
+
+Design for 100 TB: these are narrow per-row transforms — they pipeline with
+the parquet scan and never materialize intermediate state. The only memory
+concern is very long documents (arrays of tokens); ``mapInPandas`` chunking
+is unnecessary because token arrays are bounded by document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny English stopword list used by quality scoring (deterministic,
+#: shared verbatim with the DuckDB oracle).
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+#: Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "los", "que", "y"),
+    "zh": ("de", "shi", "bu", "le"),
+}
+
+_ROLL_MOD = 1_000_000_007
+_ROLL_MULT = 131
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def word_tokens_regex(text: Column | str) -> Column:
+    """BPE-ish regex tokenization: alnum runs + single punctuation marks."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, r"[^.,!?;:]", "")).cast("long")
+
+
+def quality_score(n_tokens: Column, stop_ratio: Column, avg_len: Column) -> Column:
+    """Composite [0,1] quality heuristic (length / stopword / token-shape).
+
+    score = 0.5*min(1, n/100) + 0.3*(1 - stop_ratio) + 0.2*min(1, avg_len/8)
+    """
+    return (
+        0.5 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + 0.3 * (F.lit(1.0) - stop_ratio)
+        + 0.2 * F.least(F.lit(1.0), avg_len / F.lit(8.0))
+    )
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-hit count per language (the language-ID heuristic core)."""
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marks = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(lowered, lambda t: F.array_contains(marks, t))).cast("long")
+    return out
+
+
+def predict_lang(toks: Column) -> Column:
+    """Argmax language by marker hits; ties -> lexicographically first lang;
+    zero hits -> 'und' (undetermined)."""
+    scores = lang_scores(toks)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("hits"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    # max over (hits, reversed-lang) == max hits with lexicographically
+    # smallest lang on ties is not directly expressible; sort desc by hits,
+    # asc by lang via struct ordering on (-hits, lang).
+    best = F.array_min(
+        F.transform(pairs, lambda p: F.struct((-p["hits"]).alias("neg"), p["lang"].alias("lang")))
+    )
+    return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+def normalized_md5(text: Column | str) -> Column:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def rolling_hash(toks: Column) -> Column:
+    """Polynomial rolling hash over tokens, mod 1e9+7 (order-sensitive).
+
+    Per-token value = ascii(first char)*31 + length — cheap, deterministic,
+    and expressible identically in ANSI SQL. The fold stays within int64
+    (acc < 1e9, *131 + v < 2^40), so no overflow on either engine.
+    """
+    vals = F.transform(toks, lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long"))
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _ROLL_MULT + v) % _ROLL_MOD,
+    )
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a token array (for MinHash/Jaccard).
+
+    Empty result when the document has fewer than ``n`` tokens.
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))

@@ -1,0 +1,16 @@
+"""Named query plans — the driver-facing registry.
+
+Each module registers queries via :func:`hive_feature_demo_spark.plans.registry.register`;
+importing this package populates the registry. ``__spark_entry__.py`` exposes
+it through ``queries()`` / ``oracle_sql()``.
+"""
+
+from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
+    llmops,
+    relational,
+    segment,
+    streaming_batch,
+)
+from hive_feature_demo_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
+
+__all__ = ["REGISTRY", "queries_map", "oracle_sql_map"]

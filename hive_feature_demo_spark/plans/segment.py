@@ -1,0 +1,256 @@
+"""Layer A parity queries: the reference's segmentation/campaign semantics.
+
+Two oracle strategies:
+
+- ``*_fans`` queries run on the committed deterministic fixture
+  ``data/fans.parquet`` (FIXTURES.md §1); the oracle reads the same file via
+  ``read_parquet`` so Spark and DuckDB see identical bytes.
+- ``*_customer`` queries re-express the identical operator semantics
+  (dynamic conjunctive filter, 30.44-divisor recency, inclusive bounds,
+  case-insensitive substring, bround aggregates, ordered preview) over the
+  driver's pre-registered star schema — recency derives from each
+  customer's ``max(o_orderdate)``, matching the FIXTURES.md §2 invariant
+  that ``last_purchase_date == max(purchased_at)``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import money
+from hive_feature_demo_spark.functions.temporal import MONTH_DAYS, REF_TODAY, months_since
+from hive_feature_demo_spark.operators import segment as seg
+from hive_feature_demo_spark.operators.campaign import generate_copy, schedule_campaign
+from hive_feature_demo_spark.plans.registry import register
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FANS_PARQUET = os.path.join(_REPO_ROOT, "data", "fans.parquet")
+
+#: frozen "today" for the star-schema recency queries (orders end 2001-08).
+ORDERS_TODAY = dt.date(2002, 1, 1)
+
+_JAZZ_FILTERS = seg.SegmentFilters(genres=("jazz",), min_months_since_purchase=3)
+_JAZZ_SEG_ID = seg.segment_id_for(_JAZZ_FILTERS, REF_TODAY)
+
+
+def _fans(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(FANS_PARQUET)
+
+
+# ---------------------------------------------------------------------------
+# q16 — the README flagship: "jazz fans who haven't purchased in 3 months"
+# (reference README.md:72), as the AudienceResult scalar row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_segment_stats_fans",
+    oracle=f"""
+    SELECT COUNT(*) AS count,
+           CASE WHEN COUNT(*) > 0 THEN '{_JAZZ_SEG_ID}' ELSE '' END AS segment_id,
+           COALESCE(ROUND(AVG(total_spent), 2), 0.0) AS avg_spent,
+           COALESCE(ROUND(AVG(email_open_rate), 2), 0.0) AS open_rate
+    FROM read_parquet('{FANS_PARQUET}')
+    WHERE len(list_filter(genres, g -> lower(g) = 'jazz')) > 0
+      AND datediff('day', last_purchase_date, DATE '2024-11-01') / 30.44 >= 3
+    """,
+    category="segment",
+)
+def q16_segment_stats_fans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seg.segment_stats(_fans(spark), _JAZZ_FILTERS, REF_TODAY)
+
+
+@register(
+    "q17_segment_preview_fans",
+    oracle=f"""
+    SELECT id, first_name, last_name, city, state,
+           array_to_string(genres, ',') AS genres_str,
+           last_purchase_date, total_spent, email_open_rate
+    FROM read_parquet('{FANS_PARQUET}')
+    WHERE len(list_filter(genres, g -> lower(g) = 'jazz')) > 0
+      AND datediff('day', last_purchase_date, DATE '2024-11-01') / 30.44 >= 3
+    ORDER BY id
+    LIMIT 5
+    """,
+    category="segment",
+)
+def q17_segment_preview_fans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10/A11 preview; genres flattened to a string so both engines hash the
+    # same scalar representation of the array column.
+    return seg.segment_preview(_fans(spark), _JAZZ_FILTERS, REF_TODAY).select(
+        "id", "first_name", "last_name", "city", "state",
+        F.array_join("genres", ",").alias("genres_str"),
+        "last_purchase_date", "total_spent", "email_open_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — same operator, star schema: segment customers by (substring name,
+# min balance, recency-from-last-order) with dynamic conjunction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_segment_customer_stats",
+    oracle=f"""
+    WITH last_order AS (
+      SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_purchase
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS count,
+           COALESCE(ROUND(AVG(c.c_acctbal), 2), 0.0) AS avg_balance
+    FROM customer c JOIN last_order lo ON c.c_custkey = lo.o_custkey
+    WHERE lower(c.c_name) LIKE '%customer#1%'
+      AND c.c_acctbal >= 1000
+      AND datediff('day', lo.last_purchase, DATE '{ORDERS_TODAY}') / {MONTH_DAYS} >= 3
+      AND datediff('day', lo.last_purchase, DATE '{ORDERS_TODAY}') / {MONTH_DAYS} <= 36
+    """,
+    category="segment",
+)
+def q18_segment_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    last_order = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_purchase")
+    )
+    m = months_since("last_purchase", ORDERS_TODAY)
+    return (
+        c.join(last_order, c.c_custkey == last_order.o_custkey)
+        .filter(
+            F.lower(F.col("c_name")).contains("customer#1")
+            & (F.col("c_acctbal") >= 1000)
+            & (m >= 3) & (m <= 36)
+        )
+        .agg(
+            F.count("*").alias("count"),
+            F.coalesce(money(F.avg("c_acctbal")), F.lit(0.0)).alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "q19_segment_customer_preview",
+    oracle=f"""
+    WITH last_order AS (
+      SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_purchase
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal, lo.last_purchase
+    FROM customer c JOIN last_order lo ON c.c_custkey = lo.o_custkey
+    WHERE lower(c.c_name) LIKE '%customer#1%'
+      AND c.c_acctbal >= 1000
+      AND datediff('day', lo.last_purchase, DATE '{ORDERS_TODAY}') / {MONTH_DAYS} >= 3
+      AND datediff('day', lo.last_purchase, DATE '{ORDERS_TODAY}') / {MONTH_DAYS} <= 36
+    ORDER BY c.c_custkey
+    LIMIT 5
+    """,
+    category="segment",
+)
+def q19_segment_customer_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    last_order = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_purchase")
+    )
+    m = months_since("last_purchase", ORDERS_TODAY)
+    return (
+        c.join(last_order, c.c_custkey == last_order.o_custkey)
+        .filter(
+            F.lower(F.col("c_name")).contains("customer#1")
+            & (F.col("c_acctbal") >= 1000)
+            & (m >= 3) & (m <= 36)
+        )
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal", "last_purchase")
+        .orderBy("c_custkey")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20/q21 — campaign copy (deterministic template, A14) and scheduling (A15),
+# driven from per-market-segment audiences of the star schema.
+# ---------------------------------------------------------------------------
+
+
+def _segment_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(F.count("*").alias("audience_size")).select(
+        F.col("c_mktsegment").alias("segment_name"),
+        F.concat(F.lit("seg_"), F.substring(F.md5("c_mktsegment"), 1, 8)).alias("segment_id"),
+        "audience_size",
+    )
+
+
+@register(
+    "q20_generate_copy",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment_name, COUNT(*) AS audience_size
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT segment_name,
+           'You''re invited: Summer Fest 2025' AS email_subject,
+           'Don''t miss Summer Fest 2025 on 2025-06-21' AS email_preview,
+           'Summer Fest 2025 — 2025-06-21. Get your tickets now!' AS sms_body,
+           LENGTH('You''re invited: Summer Fest 2025') < 50 AS subject_ok,
+           LENGTH('Summer Fest 2025 — 2025-06-21. Get your tickets now!') <= 160 AS sms_ok
+    FROM seg
+    ORDER BY segment_name
+    """,
+    category="segment",
+)
+def q20_generate_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reqs = _segment_requests(spark, sf_dir).select(
+        F.col("segment_name"),
+        F.concat(F.lit("fans of the "), F.col("segment_name"), F.lit(" segment")).alias(
+            "audience_description"
+        ),
+        F.lit("Summer Fest 2025").alias("event_name"),
+        F.lit("2025-06-21").alias("event_date"),
+        F.lit("enthusiastic").alias("tone"),
+    )
+    return generate_copy(reqs).select(
+        "segment_name",
+        F.col("email.subject").alias("email_subject"),
+        F.col("email.preview_text").alias("email_preview"),
+        F.col("sms.body").alias("sms_body"),
+        "subject_ok",
+        "sms_ok",
+    ).orderBy("segment_name")
+
+
+@register(
+    "q21_schedule_campaign",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment_name,
+             concat('seg_', substring(md5(c_mktsegment), 1, 8)) AS segment_id,
+             COUNT(*) AS audience_size
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT concat('cmp_', substring(sha256(
+             concat_ws('|', segment_id, 'Summer Fest 2025', '2025-06-21T19:00:00')
+           ), 1, 8)) AS campaign_id,
+           segment_id,
+           'Summer Fest 2025' AS event_name,
+           CAST(audience_size AS BIGINT) AS audience_size,
+           '2025-06-21T19:00:00' AS send_at,
+           'scheduled' AS status
+    FROM seg
+    ORDER BY segment_id
+    """,
+    category="segment",
+)
+def q21_schedule_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    drafts = _segment_requests(spark, sf_dir).select(
+        "segment_id",
+        F.lit("Summer Fest 2025").alias("event_name"),
+        "audience_size",
+        F.lit("2025-06-21T19:00:00").alias("send_at"),
+    )
+    return schedule_campaign(drafts).orderBy("segment_id")

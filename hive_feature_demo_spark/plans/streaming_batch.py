@@ -1,0 +1,245 @@
+"""Windowed event-stream analytics, batch-checkable.
+
+These queries define the streaming semantics (tumbling/sliding/session
+windows) as deterministic batch computations over the ``events`` table, so
+the DuckDB oracle can hash-check them. The same logic runs incrementally in
+:mod:`hive_feature_demo_spark.streaming.ops` via Structured Streaming
+(watermarks, state store) — tested in ``tests/test_streaming.py``; a batch
+and a streaming run of one micro-batch replay agree by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import exact_sum, sql_exact_sum
+from hive_feature_demo_spark.plans.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# q40 — tumbling 1-hour windows per event type (F.window == date_trunc hour).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_tumbling_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="streaming",
+)
+def q40_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — sliding windows (2h length, 1h slide): each event lands in 2 windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q41_sliding_2h_1h",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events
+    )
+    SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="streaming",
+)
+def q41_sliding_2h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — sessionization, gaps-and-islands: a session ends after a 30-minute
+# silence per user. Pure window functions — the batch-SQL definition.
+# ---------------------------------------------------------------------------
+
+_GAP_MIN = 30
+
+
+@register(
+    "q42_sessionization",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           {sql_exact_sum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    category="streaming",
+)
+def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > _GAP_MIN * 60
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(run).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+            exact_sum("value", "session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — Spark-native session_window aggregation; the oracle re-derives the
+# identical session bounds from the gaps-and-islands definition
+# (session end = last event + gap).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q43_session_window_native",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL {_GAP_MIN} MINUTE
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL {_GAP_MIN} MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def q43_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", f"{_GAP_MIN} minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), _TS_FMT).alias("session_start"),
+            F.date_format(F.col("sw.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — stream-static enrichment join: events against the customer dimension
+# (user_id -> c_custkey), counts per market segment per day.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q44_stream_static_join",
+    oracle=f"""
+    SELECT CAST(e.ts AS DATE) AS event_day,
+           c.c_mktsegment,
+           e.event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    category="streaming",
+)
+def q44_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(
+            F.col("ts").cast("date").alias("event_day"), "c_mktsegment", "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "total_value"))
+        .orderBy("event_day", "c_mktsegment", "event_type")
+    )
