@@ -122,7 +122,12 @@ def minhash_signatures(
     Docs with fewer than ``n`` tokens have no shingles and drop out (they
     cannot be near-duplicates under shingle Jaccard).
     """
-    sh = shingle_index(df, id_col, text_col, n).withColumn("x", _shingle_int(F.col("shingle")))
+    # reduce x mod p BEFORE multiplying: a < p < 2^31 and (x mod p) < 2^31,
+    # so a*(x mod p)+b < 2^62 stays in int64 (Spark 4 ANSI mode overflows
+    # loudly otherwise); (a*x+b) mod p == (a*(x mod p)+b) mod p.
+    sh = shingle_index(df, id_col, text_col, n).withColumn(
+        "x", _shingle_int(F.col("shingle")) % F.lit(MINHASH_PRIME)
+    )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(n_perm))
@@ -187,43 +192,30 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Bit j's vote = +1/-1 per distinct token whose md5 has bit j set; the
     fingerprint sets bit j when the vote sum is positive. Bits come from
-    md5 hex nibbles (strpos into '0123456789abcdef'), so the identical
-    computation runs in ANSI SQL oracle-side.
+    md5 hex nibbles (position in '0123456789abcdef'), so the identical
+    computation runs in ANSI SQL oracle-side. One explode(64)/token, two
+    shuffles on (id, position) — no UDFs, all codegen.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    # 64 bit positions per token: nibble = hex char j/4, bit = j%4
-    pos = F.sequence(F.lit(0), F.lit(63))
+    ).withColumn(
+        "nibs",
+        F.expr(
+            "transform(sequence(1, 16),"
+            " i -> instr('0123456789abcdef', substring(md5(tok), i, 1)) - 1)"
+        ),
+    )
     votes = toks.select(
         F.col(id_col),
-        F.explode(pos).alias("j"),
-        F.col("h"),
-    ).select(
-        F.col(id_col),
-        "j",
-        (
-            F.shiftright(
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.col("h"), (F.floor(F.col("j") / 4) + 1).cast("int"), 1),
-                )
-                - 1,
-                0,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 63), j -> struct(j AS j,"
+                " CASE WHEN (shiftright(element_at(nibs, CAST(j DIV 4 AS INT) + 1),"
+                "                       CAST(j % 4 AS INT)) & 1) = 1"
+                " THEN 1 ELSE -1 END AS vote))"
             )
-        ).alias("nib_raw"),
-    )
-    # vote: bit set -> +1 else -1
-    votes = votes.select(
-        F.col(id_col),
-        "j",
-        F.when(
-            F.shiftright(F.col("nib_raw"), (F.col("j") % 4).cast("int")).bitwiseAND(F.lit(1)) == 1,
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("vote"),
-    )
+        ).alias("v"),
+    ).select(F.col(id_col), F.col("v.j").alias("j"), F.col("v.vote").alias("vote"))
     bits = (
         votes.groupBy(id_col, "j")
         .agg(F.sum("vote").alias("s"))
@@ -233,16 +225,15 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
         )
     )
-    # assemble hex: nibble n = sum(bit_j << (j%4)) for j in [4n, 4n+3]
     nibs = (
-        bits.groupBy(id_col, F.floor(F.col("j") / 4).alias("nib_idx"))
-        .agg(F.sum(F.shiftleft(F.col("bit"), (F.col("j") % 4).cast("int"))).alias("nib_val"))
+        bits.groupBy(id_col, (F.col("j") / 4).cast("int").alias("nib_idx"))
+        .agg(F.sum(F.expr("shiftleft(bit, CAST(j % 4 AS INT))")).alias("nib_val"))
         .select(
             F.col(id_col),
             "nib_idx",
-            F.substring(
-                F.lit("0123456789abcdef"), (F.col("nib_val") + 1).cast("int"), 1
-            ).alias("nib_hex"),
+            F.expr("substring('0123456789abcdef', CAST(nib_val AS INT) + 1, 1)").alias(
+                "nib_hex"
+            ),
         )
     )
     return (

@@ -111,10 +111,17 @@ def segment_stats(fans: DataFrame, filters: SegmentFilters, today: dt.date) -> D
     driver-side branch is needed.
     """
     seg_id = segment_id_for(filters, today)
+
+    def _avg(col: str) -> Column:
+        # exact decimal sum -> average -> HALF_EVEN round: deterministic
+        # under any partitioning (a distributed float avg is order-dependent
+        # in the last ulp, which flips banker's rounding on .005 boundaries)
+        return money(F.sum(F.col(col).cast("decimal(25,10)")) / F.count(col)).cast("double")
+
     agg = fans.filter(build_predicate(filters, today)).agg(
         F.count("*").alias("count"),
-        money(F.avg("total_spent")).alias("_avg_spent"),
-        money(F.avg("email_open_rate")).alias("_open_rate"),
+        _avg("total_spent").alias("_avg_spent"),
+        _avg("email_open_rate").alias("_open_rate"),
     )
     nonzero = F.col("count") > 0
     return agg.select(

@@ -232,6 +232,188 @@ def q35_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q39 — exact n-gram Jaccard near-duplicate pairs (inverted shingle index).
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = """
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "q39_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    category="llmops",
+)
+def q39_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45/q46 — MinHash signatures and the LSH near-dup pipeline. The oracle
+# re-derives the identical closed-form hashes (md5-nibble fold == conv hex,
+# a*(x mod p)+b mod p), so even the LSH internals are hash-checked.
+# ---------------------------------------------------------------------------
+
+_XM_SQL = (
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(generate_series(1, 15),"
+    " i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), i, 1)) - 1 AS BIGINT))),"
+    " (acc, v) -> acc * 16 + v) % {p})"
+).format(p=dedup.MINHASH_PRIME)
+
+_MH_COLS_SQL = ",\n             ".join(
+    f"MIN(({a} * xm + {b}) % {dedup.MINHASH_PRIME}) AS mh_{i}"
+    for i, (a, b) in enumerate(dedup.minhash_params(16))
+)
+
+_SIG_CTE = f"""
+    {_SHINGLES_CTE},
+    x AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {_MH_COLS_SQL}
+      FROM x GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q45_minhash_signatures",
+    oracle=f"""
+    WITH {_SIG_CTE}
+    SELECT * FROM sig ORDER BY doc_id
+    """,
+    category="llmops",
+)
+def q45_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "doc_id", "text", n=3, n_perm=16).orderBy(
+        "doc_id"
+    )
+
+
+_BUCKETS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {bi} AS band, md5(concat_ws('_', "
+    + ", ".join(f"mh_{bi * 4 + r}" for r in range(4))
+    + ")) AS bd FROM sig"
+    for bi in range(4)
+)
+
+
+@register(
+    "q46_minhash_near_dups",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    buckets AS (
+{_BUCKETS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bd = b.bd
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b, CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+    )
+    SELECT e.id_a, e.id_b, e.jaccard
+    FROM exact e JOIN cands c ON e.id_a = c.id_a AND e.id_b = c.id_b
+    ORDER BY e.id_a, e.id_b
+    """,
+    category="llmops",
+)
+def q46_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q47 — SimHash fingerprints (md5-nibble bit votes), hash-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ), nibbed AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 16),
+               i -> strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1) AS nibs
+      FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, 63),
+               j -> {'j': j,
+                     'vote': CASE WHEN ((nibs[(j // 4) + 1] >> (j % 4)) & 1) = 1
+                             THEN 1 ELSE -1 END})) AS v
+      FROM nibbed
+    ), bits AS (
+      SELECT doc_id, v.j AS j,
+             CASE WHEN SUM(v.vote) > 0 THEN 1 ELSE 0 END AS bit
+      FROM votes GROUP BY doc_id, v.j
+    ), nibs2 AS (
+      SELECT doc_id, j // 4 AS nib_idx, SUM(bit << (j % 4)) AS nib_val
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           string_agg(substring('0123456789abcdef', CAST(nib_val AS INT) + 1, 1),
+                      '' ORDER BY nib_idx) AS simhash
+    FROM nibs2
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    category="llmops",
+)
+def q47_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q36 — brute-force cosine top-k neighbors (exact ANN baseline).
 # ---------------------------------------------------------------------------
 

@@ -53,8 +53,10 @@ def _fans(spark: SparkSession) -> DataFrame:
     oracle=f"""
     SELECT COUNT(*) AS count,
            CASE WHEN COUNT(*) > 0 THEN '{_JAZZ_SEG_ID}' ELSE '' END AS segment_id,
-           COALESCE(ROUND(AVG(total_spent), 2), 0.0) AS avg_spent,
-           COALESCE(ROUND(AVG(email_open_rate), 2), 0.0) AS open_rate
+           COALESCE(ROUND(CAST(SUM(CAST(total_spent AS DECIMAL(25,10))) AS DOUBLE)
+                          / COUNT(*), 2), 0.0) AS avg_spent,
+           COALESCE(ROUND(CAST(SUM(CAST(email_open_rate AS DECIMAL(25,10))) AS DOUBLE)
+                          / COUNT(*), 2), 0.0) AS open_rate
     FROM read_parquet('{FANS_PARQUET}')
     WHERE len(list_filter(genres, g -> lower(g) = 'jazz')) > 0
       AND datediff('day', last_purchase_date, DATE '2024-11-01') / 30.44 >= 3
@@ -103,7 +105,8 @@ def q17_segment_preview_fans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     )
     SELECT COUNT(*) AS count,
-           COALESCE(ROUND(AVG(c.c_acctbal), 2), 0.0) AS avg_balance
+           COALESCE(ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,10))) AS DOUBLE)
+                          / COUNT(*), 2), 0.0) AS avg_balance
     FROM customer c JOIN last_order lo ON c.c_custkey = lo.o_custkey
     WHERE lower(c.c_name) LIKE '%customer#1%'
       AND c.c_acctbal >= 1000
@@ -128,7 +131,12 @@ def q18_segment_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("count"),
-            F.coalesce(money(F.avg("c_acctbal")), F.lit(0.0)).alias("avg_balance"),
+            F.coalesce(
+                money(
+                    F.sum(F.col("c_acctbal").cast("decimal(25,10)")) / F.count("c_acctbal")
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("avg_balance"),
         )
     )
 

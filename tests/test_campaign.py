@@ -1,0 +1,65 @@
+"""Campaign operators: deterministic copy template (A14) + idempotent
+scheduling (A15). Template strings are the reference fallback verbatim
+(``backend/tools.py:146-154``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.operators.campaign import generate_copy, schedule_campaign
+
+
+@pytest.fixture(scope="module")
+def requests_df(spark):
+    return spark.createDataFrame(
+        [
+            ("jazz fans lapsed 3 months", "Jazz Night", "2025-03-01", "enthusiastic"),
+            ("high spenders", "VIP Gala", "2025-04-15", None),
+        ],
+        "audience_description string, event_name string, event_date string, tone string",
+    )
+
+
+def test_copy_template_exact(requests_df):
+    rows = {r["event_name"]: r for r in generate_copy(requests_df).collect()}
+    jn = rows["Jazz Night"]
+    assert jn["email"]["subject"] == "You're invited: Jazz Night"
+    assert jn["email"]["preview_text"] == "Don't miss Jazz Night on 2025-03-01"
+    assert jn["sms"]["body"] == "Jazz Night — 2025-03-01. Get your tickets now!"
+    assert jn["subject_ok"] is True
+    assert jn["sms_ok"] is True
+
+
+def test_copy_default_tone_in_body(requests_df):
+    rows = {r["event_name"]: r for r in generate_copy(requests_df).collect()}
+    # null tone defaults to 'enthusiastic' (tools.py tone enum default)
+    assert "enthusiastic" in rows["VIP Gala"]["email"]["body"]
+
+
+def test_copy_constraint_flags(spark):
+    long_name = "X" * 80
+    df = spark.createDataFrame(
+        [("aud", long_name, "2025-01-01", "casual")],
+        "audience_description string, event_name string, event_date string, tone string",
+    )
+    row = generate_copy(df).collect()[0]
+    assert row["subject_ok"] is False  # subject >= 50 chars
+    assert row["sms_ok"] is True  # 80+30 < 160? event+date+suffix
+
+
+def test_schedule_idempotent_ids(spark):
+    drafts = spark.createDataFrame(
+        [("seg_abc12345", "Jazz Night", 42, "2025-03-01T10:00:00")],
+        "segment_id string, event_name string, audience_size long, send_at string",
+    )
+    r1 = schedule_campaign(drafts).collect()[0]
+    r2 = schedule_campaign(drafts).collect()[0]
+    assert r1["campaign_id"] == r2["campaign_id"]
+    assert r1["campaign_id"].startswith("cmp_")
+    assert r1["status"] == "scheduled"
+    assert r1["audience_size"] == 42
+    # different send_at -> different id
+    drafts2 = drafts.withColumn("send_at", F.lit("2025-03-02T10:00:00"))
+    r3 = schedule_campaign(drafts2).collect()[0]
+    assert r3["campaign_id"] != r1["campaign_id"]
