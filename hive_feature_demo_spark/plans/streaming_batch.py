@@ -218,6 +218,80 @@ def q43_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# q48/q49 — REAL Structured Streaming runs, hash-checked: the events table
+# is replayed through readStream (file source), aggregated incrementally,
+# and the final memory-sink table must equal the batch oracle. This checks
+# the incremental engine itself, not just the batch re-formulation.
+# ---------------------------------------------------------------------------
+
+_STREAM_RUN_SEQ = iter(range(10**6))
+
+
+def _streamed_events(spark: SparkSession, sf_dir: str):
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    return (
+        spark.readStream.schema(sops.EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+
+
+@register(
+    "q48_streaming_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="streaming",
+)
+def q48_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            exact_sum("value", "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"q48_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register(
+    "q49_streaming_dedup_count",
+    oracle="""
+    SELECT COUNT(DISTINCT event_id) AS n_unique_events FROM events
+    """,
+    category="streaming",
+)
+def q49_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    deduped = sops.streaming_dedup(events, watermark="1 hour")
+    name = f"q49_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name).agg(F.count("*").alias("n_unique_events"))
+
+
 @register(
     "q44_stream_static_join",
     oracle=f"""
