@@ -53,6 +53,28 @@ def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict
     return out
 
 
+def register_hive_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, database: str = "star"
+) -> None:
+    """Register the testdata as Hive-metastore EXTERNAL parquet tables.
+
+    The production deployment shape (BASELINE "Spark SQL reading Hive
+    tables"): metadata in the metastore, data in place as parquet; at
+    100 TB the same statement with PARTITIONED BY on the layout's
+    date/tenant dirs gives metastore-driven partition pruning. Requires a
+    session built with ``get_spark(hive=True)``.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {database}.{name} "
+            f"USING PARQUET LOCATION '{path}'"
+        )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table directly (no view registration needed)."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,86 @@
+"""Relational operators Spark lacks natively: as-of join, range join.
+
+- :func:`asof_join` — the time-series "most recent right row at or before
+  the left row's time" join. Implemented as union + carry-forward window
+  rather than an inequality join: one shuffle on the key, one sort, zero
+  row explosion — the only formulation that survives 100 TB (an
+  inequality-join plan is a BroadcastNestedLoop/cartesian per key).
+- :func:`range_join` — theta join of a fact against small interval
+  dimensions; broadcast so the non-equi condition never shuffles the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    left_by: str,
+    right_by: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_time <= left_time`` (inclusive) within the same key group.
+
+    Right rows must be unique per (key, time) — pre-aggregate otherwise, or
+    the carried value is nondeterministic. All left columns are kept;
+    ``value_cols`` (+ the right time as ``asof_time``) come from the right.
+
+    Plan: tag both sides, unionByName, window per key ordered by
+    (time, side) with right rows sorting first on ties (inclusive
+    semantics), carry ``last(value, ignorenulls=True)``, keep left rows.
+    Scales as one hash shuffle + per-partition sort.
+    """
+    if direction != "backward":
+        raise ValueError("only direction='backward' is implemented")
+    lt = F.col(left_time)
+    l_tag = left.select(
+        F.col(left_by).alias("__key"),
+        lt.alias("__t"),
+        F.lit(1).alias("__side"),
+        "*",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_time"),
+    )
+    r_tag = right.select(
+        F.col(right_by).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(right_time).alias("__r_time"),
+    )
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in value_cols
+        ],
+        F.last("__r_time", ignorenulls=True).over(w).alias("__asof_time"),
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *left.columns,
+        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
+        F.col("__asof_time").alias("asof_time"),
+    )
+
+
+def range_join(
+    fact: DataFrame, intervals: DataFrame, value: Column, lo: str = "lo", hi: str = "hi"
+) -> DataFrame:
+    """Join fact rows to the (broadcast) interval containing ``value``
+    (half-open: lo <= value < hi)."""
+    return fact.join(
+        F.broadcast(intervals), (value >= F.col(lo)) & (value < F.col(hi)), "left"
+    )

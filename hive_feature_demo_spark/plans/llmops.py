@@ -497,6 +497,109 @@ def q37_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q59 — grouped-map pandas UDF (applyInPandas): per-user event features
+# computed in Python, hash-checked against a pure-SQL oracle. Demonstrates
+# the Arrow-batched python path; money math in integer cents so the pandas
+# computation is exact (and so order-of-arrival inside a group is moot).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q59_per_user_features",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), top_type AS (
+      SELECT user_id, event_type AS top_event_type
+      FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+            FROM counts)
+      WHERE rn = 1
+    ), stats AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, s.n_events, s.total_value,
+           s.total_value / s.n_events AS avg_value,
+           t.top_event_type
+    FROM stats s JOIN top_type t USING (user_id)
+    ORDER BY s.user_id
+    """,
+    category="llmops",
+)
+def q59_per_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+
+    def features(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")  # exact 2dp money
+        total = cents.sum() / 100.0
+        counts = pdf.groupby("event_type").size()
+        top = counts[counts == counts.max()].index.min()  # tie -> lexicographic
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_value": [total],
+                "avg_value": [total / len(pdf)],
+                "top_event_type": [top],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            features,
+            schema="user_id long, n_events long, total_value double, "
+            "avg_value double, top_event_type string",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q60 — the generalized LLM operator in deterministic mode: prompt
+# rendering + schema-validated parse + fallback (reference tools.py pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q60_llm_generate_deterministic",
+    oracle="""
+    SELECT doc_id,
+           concat('Summarize document ', CAST(doc_id AS VARCHAR), ' from ', source)
+             AS prompt,
+           concat('[', lang, '] ', source, ' doc ', CAST(doc_id AS VARCHAR),
+                  ': ', CAST(n_chars AS VARCHAR), ' chars') AS summary,
+           TRUE AS used_fallback
+    FROM documents
+    ORDER BY doc_id
+    """,
+    category="llmops",
+)
+def q60_llm_generate_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.llm import llm_generate
+
+    docs = table(spark, sf_dir, "documents")
+    out = llm_generate(
+        docs,
+        prompt_template="Summarize document {doc_id} from {source}",
+        reply_schema="summary string",
+        fallback={
+            "summary": F.format_string(
+                "[%s] %s doc %s: %s chars",
+                F.col("lang"), F.col("source"), F.col("doc_id"), F.col("n_chars"),
+            )
+        },
+    )
+    return out.select("doc_id", "prompt", "summary", "used_fallback").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q38 — multimodal binary-column plumbing: sizes + digests of blob payloads.
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,308 @@
+"""Extended relational coverage: as-of join, range join, grouping sets,
+exact percentiles, approx sketches, SQL front door, JSON parse+fallback."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import register_testdata, table
+from hive_feature_demo_spark.functions.numeric import round_det, sql_round_det
+from hive_feature_demo_spark.operators.relational_ext import asof_join, range_join
+from hive_feature_demo_spark.plans.registry import register
+from hive_feature_demo_spark.plans.segment import FANS_PARQUET
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# ---------------------------------------------------------------------------
+# q50 — as-of join: each event matched to the user's most recent order at or
+# before the event time. Oracle = DuckDB's native ASOF JOIN; the Spark side
+# is the union+carry-forward formulation (shuffle+sort, no row explosion).
+# Orders are pre-reduced to one row per (custkey, date) so ties are defined.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q50_asof_join",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           strftime(e.ts, '{_TS_FMT_DUCK}') AS event_ts,
+           o.last_orderkey,
+           strftime(o.o_orderdate, '{_TS_FMT_DUCK}') AS asof_order_ts
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def q50_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join(
+        e,
+        o,
+        left_time="ts",
+        right_time="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["last_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("event_ts"),
+        "last_orderkey",
+        F.date_format("asof_time", _TS_FMT).alias("asof_order_ts"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q51 — range (theta) join: orders bucketed into broadcast price tiers.
+# ---------------------------------------------------------------------------
+
+_TIERS = [("bronze", 0.0, 100_000.0), ("silver", 100_000.0, 300_000.0),
+          ("gold", 300_000.0, 500_000.0), ("platinum", 500_000.0, 10_000_000.0)]
+
+_TIERS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _TIERS)
+
+
+@register(
+    "q51_range_join_tiers",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (VALUES {_TIERS_SQL})
+    SELECT t.tier, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS total_value
+    FROM orders o LEFT JOIN tiers t
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+)
+def q51_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_totalprice")
+    tiers = F.broadcast(
+        o.sparkSession.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    )
+    return (
+        range_join(o, tiers, F.col("o_totalprice"))
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,10)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q52 — GROUPING SETS via the SQL front door (identical text runs in DuckDB).
+# ---------------------------------------------------------------------------
+
+_Q52_SQL = """
+    SELECT COALESCE(n.n_name, '__ALL__') AS nation_name,
+           COALESCE(c.c_mktsegment, '__ALL__') AS segment,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), (n.n_name, c.c_mktsegment))
+    ORDER BY nation_name, segment
+"""
+
+
+@register("q52_grouping_sets", oracle=_Q52_SQL)
+def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(_Q52_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q53 — exact percentiles (interpolated) per market segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q53_percentiles",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_round_det('quantile_cont(c_acctbal, 0.25)', 4)} AS p25,
+           {sql_round_det('quantile_cont(c_acctbal, 0.50)', 4)} AS p50,
+           {sql_round_det('quantile_cont(c_acctbal, 0.75)', 4)} AS p75
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q53_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            round_det(F.percentile("c_acctbal", 0.25), 4).alias("p25"),
+            round_det(F.percentile("c_acctbal", 0.50), 4).alias("p50"),
+            round_det(F.percentile("c_acctbal", 0.75), 4).alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — approximate sketches (HLL++ distinct, approx quantiles): the scale
+# path for cardinality/quantile estimation. No SQL-exact oracle exists for
+# sketch internals -> rows-only check (documented weaker gate).
+# ---------------------------------------------------------------------------
+
+
+@register("q54_approx_sketches", oracle=None)
+def q54_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — SQL front door with a correlated subquery (identical ANSI text on
+# both engines): customers above their nation's average balance.
+# ---------------------------------------------------------------------------
+
+_Q55_SQL = """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    ORDER BY c.c_custkey
+    LIMIT 50
+"""
+
+
+@register("q55_correlated_subquery", oracle=_Q55_SQL)
+def q55_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(_Q55_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q56 — schema-validated JSON parse with deterministic fallback: the
+# generalized A13/A14 pattern (LLM structured-output parsing). Rows whose
+# payload is corrupted parse to null and take the fallback value.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q56_json_parse_fallback",
+    oracle="""
+    WITH payloads AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 97 = 0
+                  THEN regexp_replace(props, '[0-9]', 'z', 'g')
+                  ELSE props END AS payload
+      FROM events
+    )
+    SELECT event_id, event_type,
+           COALESCE(TRY_CAST(regexp_extract(payload, '"k": ([0-9]+)', 1) AS BIGINT),
+                    -1) AS k_value,
+           TRY_CAST(regexp_extract(payload, '"k": ([0-9]+)', 1) AS BIGINT) IS NULL
+             AS used_fallback
+    FROM payloads
+    ORDER BY event_id
+    """,
+)
+def q56_json_parse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    payload = F.when(
+        F.col("event_id") % 97 == 0, F.regexp_replace("props", "[0-9]", "z")
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(payload, "k bigint")
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.coalesce(parsed["k"], F.lit(-1)).alias("k_value"),
+            parsed["k"].isNull().alias("used_fallback"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — full ranking-window surface: rank / dense_rank / ntile / cume_dist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q57_ranking_windows",
+    oracle=f"""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           {sql_round_det('CUME_DIST() OVER w', 6)} AS cdist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    ORDER BY s_nationkey, rnk, s_suppkey
+    """,
+)
+def q57_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_acctbal",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            round_det(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — the 100 TB genre-index path: pre-exploded fan_genre table (the
+# prunable replacement for arrays_overlap, SURVEY §4.2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q58_fan_genre_index",
+    oracle=f"""
+    SELECT genre, COUNT(*) AS n_fans
+    FROM (
+      SELECT id AS fan_id, lower(unnest(genres)) AS genre
+      FROM read_parquet('{FANS_PARQUET}')
+    )
+    GROUP BY genre
+    ORDER BY genre
+    """,
+    category="segment",
+)
+def q58_fan_genre_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.segment import explode_genres
+
+    fans = spark.read.parquet(FANS_PARQUET)
+    return (
+        explode_genres(fans)
+        .groupBy("genre")
+        .agg(F.count("*").alias("n_fans"))
+        .orderBy("genre")
+    )

@@ -30,11 +30,17 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the configured SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
-    ``local[*]``.
+    ``local[*]``. ``hive=True`` enables the Hive metastore catalog
+    (embedded derby locally; a real metastore URI in production) — the
+    "Spark SQL reading Hive tables" deployment shape; note
+    ``catalogImplementation`` is fixed for the lifetime of the JVM, so the
+    first ``get_spark`` call in a process decides.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
@@ -59,6 +65,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if hive:
+        wh = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse")
+        builder = (
+            builder.config("spark.sql.warehouse.dir", wh)
+            .config(
+                "spark.driver.extraJavaOptions", f"-Dderby.system.home={wh}"
+            )
+            .enableHiveSupport()
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
