@@ -67,6 +67,122 @@ def cosine_topk(
     )
 
 
+def l2(a: Column, b: Column) -> Column:
+    """Euclidean distance between two float arrays (double fold)."""
+    sq = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, p: acc + p))
+
+
+def near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (``id_a < id_b``).
+
+    Baseline O(n^2) self-join — correct by construction; the 100 TB scale
+    path replaces the cross join with :func:`lsh_bucketed_topk`-style
+    bucketing (candidates share a random-projection signature) at the cost
+    of recall. Threshold comparison happens on the *rounded* similarity so
+    the cut is reproducible across engines.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round_det(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids (L2).
+
+    Classic IVF coarse quantization: the centroid set is tiny and
+    broadcast, so assignment is a narrow map over the corpus — no shuffle
+    of the 100 TB side. Distances are rounded before ranking with
+    centroid-id tie-breaks, making list membership deterministic.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec")
+    )
+    v = vectors.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v_vec"))
+    w = Window.partitionBy(out_id).orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        v.crossJoin(F.broadcast(c))
+        .select(
+            out_id,
+            "v_vec",
+            "cid",
+            round_det(l2(F.col("v_vec"), F.col("c_vec")), 6).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .drop("rn", "dist")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize, probe, exact re-rank.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors — a
+    deterministic stand-in for a trained k-means codebook (train offline
+    at scale; the query plan is identical). Corpus rows shuffle once on
+    the short ``cid`` key; each query probes ``nprobe`` inverted lists, so
+    scanned candidates shrink by ~``nprobe / n_centroids`` vs brute force.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    lists = ivf_assign(
+        corpus, centroids, id_col, vec_col, nprobe=1, out_id="neighbor_id"
+    ).withColumnRenamed("v_vec", "c_vec")
+    probes = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, out_id="query_id"
+    ).withColumnRenamed("v_vec", "q_vec")
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_det(cosine(F.col("c_vec"), F.col("q_vec")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG-based, library-free)."""
     state = seed

@@ -1,0 +1,168 @@
+"""Approximate-nearest-neighbor query plans over the ``embeddings`` table.
+
+Three tiers of the same problem (reference analogue: the similarity-search
+capability class in SURVEY.md §2.3; the reference itself has no vector ops —
+semantics are defined here and hash-checked against DuckDB):
+
+- ``q62`` exact near-duplicate pairs (cosine >= threshold) — the O(n^2)
+  correctness baseline.
+- ``q61`` LSH-bucketed top-k — random-hyperplane signatures; the oracle
+  replays the *identical* plane constants inlined as SQL literals, so even
+  the approximate path is hash-checked, not just row-counted.
+- ``q63`` IVF top-k — coarse quantization into inverted lists + probe +
+  exact re-rank, the industry-standard 100 TB layout (train the codebook
+  offline; here centroids are the lowest-id vectors for determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import sql_round_det
+from hive_feature_demo_spark.operators import similarity
+from hive_feature_demo_spark.plans.registry import register
+
+_DIM = 64
+_BITS = 8
+_PLANES = similarity.hyperplanes(_DIM, _BITS, seed=42)
+
+
+def _sql_array(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+def _sql_signature(vec_expr: str) -> str:
+    """DuckDB replica of :func:`similarity.rp_signature` — same planes."""
+    bits = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_sql_array(p)}) >= 0"
+        " THEN '1' ELSE '0' END"
+        for p in _PLANES
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# ---------------------------------------------------------------------------
+# q61 — LSH-bucketed approximate top-k (scale path for similarity search).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q61_lsh_ann_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_sql_signature("embedding::DOUBLE[]")} AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_sql_signature("embedding::DOUBLE[]")} AS sig
+      FROM embeddings WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} AS cos_sim
+      FROM c JOIN q USING (sig)
+      WHERE c.neighbor_id != q.query_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
+def q61_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 20), dim=_DIM, k=5, bits=_BITS, seed=42
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — exact embedding-cosine near-duplicate pairs (dedup baseline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q62_embedding_near_dup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {sql_round_det(_COS.format(a="a.e", b="b.e"), 4)} AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM pairs WHERE cos_sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    category="ann",
+)
+def q62_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# q63 — IVF approximate top-k (coarse quantize -> probe -> exact re-rank).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q63_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, v AS cv2, cid FROM (
+        SELECT vecs.vec_id, vecs.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {sql_round_det("list_distance(vecs.v, cent.cv)", 6)}, cent.cid
+               ) AS rn
+        FROM vecs, cent)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM (
+        SELECT vecs.vec_id, vecs.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {sql_round_det("list_distance(vecs.v, cent.cv)", 6)}, cent.cid
+               ) AS rn
+        FROM vecs, cent WHERE vecs.vec_id < 20)
+      WHERE rn <= 4
+    ), scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             {sql_round_det(_COS.format(a="l.cv2", b="p.qv"), 4)} AS cos_sim
+      FROM lists l JOIN probes p USING (cid)
+      WHERE l.neighbor_id != p.query_id
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
+def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), n_centroids=16, nprobe=4, k=5
+    )
