@@ -137,3 +137,63 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def word_tokens_lower(text: Column | str) -> Column:
+    """Lowercase alphanumeric word tokens (shared verbatim with oracles)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z0-9]+"), 0)
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent word bigrams ("a b") of a token array; empty below 2 tokens."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(-1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+def tfidf_topk(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+):
+    """Top-k TF-IDF terms per document, as pure DataFrame ops.
+
+    Deliberately NOT ``ml.feature.HashingTF`` — hashing buckets collide and
+    are not oracle-checkable; the explode/groupBy formulation is exact,
+    hash-verifiable, and at 100 TB its two shuffles (doc-term counts, then
+    per-term document frequency) are both partial-aggregated map-side by
+    Catalyst. ``idf = ln(n_docs / df)``; score rounded for cross-engine
+    rank stability (ties break on the term string).
+    """
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.functions.numeric import round_det
+
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens_lower(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct(id_col).alias("doc_freq"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            round_det(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy(id_col, "rank")
+    )

@@ -12,6 +12,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     relational_ext,
     segment,
     streaming_batch,
+    textstats,
 )
 from hive_feature_demo_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 

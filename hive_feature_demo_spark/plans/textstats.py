@@ -1,0 +1,92 @@
+"""Corpus-statistics query plans: TF-IDF and n-gram frequency.
+
+Generalizes the reference's text-generation-adjacent data handling (the
+reference has no corpus analytics; capability class from SURVEY.md §2.3
+"Text analysis") into exact, hash-checked DataFrame formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import sql_round_det
+from hive_feature_demo_spark.operators import textops
+from hive_feature_demo_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# q64 — top-3 TF-IDF terms per document (explode/groupBy formulation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q64_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             {sql_round_det(
+                 "tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE))", 6
+             )} AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+    category="textstats",
+)
+def q64_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return textops.tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# q65 — global top-20 bigrams (adjacent word pairs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q65_bigram_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+      FROM documents
+    ), big AS (
+      SELECT unnest(
+        [ts[i] || ' ' || ts[i + 1] FOR i IN generate_series(1, len(ts) - 1)]
+      ) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences
+    FROM big
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+    category="textstats",
+)
+def q65_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(textops.bigrams(textops.word_tokens_lower("text"))).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(20)
+    )
