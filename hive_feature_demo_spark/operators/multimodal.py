@@ -95,3 +95,73 @@ DECODED_SCHEMA = "asset_id long, kind string, n_units long"
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Run the (stub) decoder over binary content, Arrow-batched."""
     return assets.mapInPandas(decode_stub(), schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic-fake media features: the decode itself is stubbed (no
+# PIL/ffmpeg in this container), but every derived value is a pure function
+# of the content's md5, so the full mapInPandas pipeline — schema, Arrow
+# batching, explode of per-frame rows — is hash-checkable end-to-end.
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 256
+FRAME_STRIDE = 7
+EMBED_DIM = 8
+
+MEDIA_SCHEMA = (
+    "asset_id long, width int, height int, out_width int, out_height int, "
+    "n_frames int, sampled_frames array<int>, embedding array<double>"
+)
+
+
+def _floor_round(x: float, digits: int = 6) -> float:
+    """Python spelling of functions.numeric.round_det (same IEEE ops)."""
+    import math
+
+    scale = float(10**digits)
+    return math.floor(x * scale + 0.5) / scale
+
+
+def media_features_stub():
+    """``mapInPandas`` kernel: fake decode + resize + frame-sample + embed.
+
+    A real decoder swaps ``_fake_decode`` for PIL/ffmpeg and keeps every
+    other line. Dims/frames/embedding derive from the content digest —
+    deterministic across engines, partitionings, and batch boundaries.
+    """
+    import hashlib
+
+    def _fake_decode(content: bytes) -> dict:
+        h = hashlib.md5(content).hexdigest()
+        width = 16 * (1 + int(h[0:2], 16) % 64)
+        height = 16 * (1 + int(h[2:4], 16) % 64)
+        m = max(width, height)
+        n_frames = 1 + int(h[4:6], 16) % 120
+        return {
+            "width": width,
+            "height": height,
+            "out_width": max(1, width * RESIZE_TARGET // m),
+            "out_height": max(1, height * RESIZE_TARGET // m),
+            "n_frames": n_frames,
+            "sampled_frames": list(range(0, n_frames, FRAME_STRIDE)),
+            "embedding": [
+                _floor_round(int(h[2 * i : 2 * i + 2], 16) / 255.0 - 0.5)
+                for i in range(EMBED_DIM)
+            ],
+        }
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(c) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return kernel
+
+
+def media_features(assets: DataFrame) -> DataFrame:
+    """Decode-pipeline features over binary assets (Arrow-batched)."""
+    return assets.select("asset_id", "content").mapInPandas(
+        media_features_stub(), schema=MEDIA_SCHEMA
+    )

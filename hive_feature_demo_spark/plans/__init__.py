@@ -8,6 +8,7 @@ it through ``queries()`` / ``oracle_sql()``.
 from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     ann,
     llmops,
+    mediaops,
     relational,
     relational_ext,
     segment,
