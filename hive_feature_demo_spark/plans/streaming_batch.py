@@ -317,3 +317,92 @@ def q44_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), exact_sum("value", "total_value"))
         .orderBy("event_day", "c_mktsegment", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q69 — REAL stream-stream join run: click->purchase attribution within a
+# 30-minute horizon, replayed through the incremental engine (watermarks on
+# both sides bound the join state) and hash-checked against the batch join.
+# Inner stream-stream joins emit matches in the micro-batch they occur, so
+# a full replay equals the batch result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q69_stream_stream_attribution",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           strftime(c.cts, '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(p.pts, '{_TS_FMT_DUCK}') AS purchase_ts,
+           p.value AS purchase_value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.pts > c.cts
+     AND p.pts <= c.cts + INTERVAL 30 MINUTE
+    ORDER BY c.user_id, c.click_id, p.purchase_id
+    """,
+    category="streaming",
+)
+def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    joined = sops.click_purchase_join(events, horizon="30 minutes", watermark="10 minutes")
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "purchase_value",
+    )
+    name = f"q69_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q70 — REAL applyInPandasWithState run: per-user running totals with
+# order-independent fixed-point accumulation; the FINAL snapshot per user
+# (update-mode memory sink keeps every batch's snapshots — take the last)
+# must equal the batch groupBy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q70_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="streaming",
+)
+def q70_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    totals = sops.running_user_totals(events, quantize_digits=4)
+    name = f"q70_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(totals, name, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("user_id")
+    )

@@ -13,6 +13,7 @@ state finite; stream-static joins re-broadcast the dimension per micro-batch.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -126,3 +127,115 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def click_purchase_join(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream join: purchases attributed to a prior click per user.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict buffered rows once the watermark passes
+    ``click.ts + horizon`` — state stays finite at any throughput. This is
+    the canonical attribution join for campaign engagement (the reference's
+    domain) at stream scale.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame, quantize_digits: int | None = None) -> DataFrame:
+    """Arbitrary stateful op via ``applyInPandasWithState``: per-user
+    running event count + value sum, one snapshot row per user per batch.
+
+    The built-in windowed aggs can't emit *running* (cross-batch
+    cumulative) snapshots in append semantics; explicit state can. State is
+    two scalars per user — bounded by the user population, the classic
+    keyed-state sizing at cluster scale.
+
+    With ``quantize_digits`` set, each value is first rounded to that many
+    decimals (floor form, same IEEE ops as ``functions.numeric.round_det``)
+    and accumulated as exact integers — the sum is then independent of
+    arrival order and batch boundaries, i.e. hash-checkable.
+    """
+    import math
+
+    def update(key, pdfs, state):
+        if quantize_digits is None:
+            n, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+        else:
+            scale = 10**quantize_digits
+            n, units = state.get if state.exists else (0, 0)
+            units = int(units)
+            for pdf in pdfs:
+                n += int(len(pdf))
+                units += int(sum(math.floor(v * scale + 0.5) for v in pdf["value"]))
+            total = units / scale
+            state.update((n, units))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+            return
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )

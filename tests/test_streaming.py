@@ -155,3 +155,47 @@ def test_stream_static_join(spark, sf_dir, tmp_path):
     rows = spark.table("t_joined").collect()
     assert len(rows) == 1  # user 999999 has no dimension row
     assert rows[0]["c_mktsegment"] is not None
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Purchases join a prior same-user click within the horizon; outside
+    the horizon (or wrong user) no attribution row is emitted."""
+    batches = [
+        [
+            (1, _ns(0), 1, "click", 0.0, "{}"),
+            (2, _ns(10), 1, "purchase", 50.0, "{}"),   # within 30min -> match
+            (3, _ns(50), 1, "purchase", 70.0, "{}"),   # beyond horizon -> drop
+            (4, _ns(11), 2, "purchase", 90.0, "{}"),   # no click for user 2
+        ],
+        [(9, _ns(600), 3, "view", 1.0, "{}")],  # flush: advance watermark
+    ]
+    path = _stream_dir(spark, tmp_path, batches)
+    stream = ops.events_stream(spark, path, max_files_per_trigger=1)
+    joined = ops.click_purchase_join(stream, horizon="30 minutes", watermark="10 minutes")
+    ops.run_to_memory(joined, "t_attr", output_mode="append")
+    rows = spark.table("t_attr").collect()
+    assert [(r["click_id"], r["purchase_id"]) for r in rows] == [(1, 2)]
+    assert rows[0]["purchase_value"] == 50.0
+
+
+def test_running_user_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState keeps per-user running totals across batches,
+    emitting one snapshot per touched user per batch."""
+    batches = [
+        [
+            (1, _ns(0), 1, "view", 1.0, "{}"),
+            (2, _ns(1), 1, "view", 2.0, "{}"),
+            (3, _ns(2), 2, "view", 10.0, "{}"),
+        ],
+        [(4, _ns(3), 1, "view", 3.0, "{}")],
+    ]
+    path = _stream_dir(spark, tmp_path, batches)
+    stream = ops.events_stream(spark, path, max_files_per_trigger=1)
+    totals = ops.running_user_totals(stream)
+    ops.run_to_memory(totals, "t_running", output_mode="update")
+    snaps = [
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in spark.table("t_running").orderBy("n_events", "user_id").collect()
+    ]
+    # batch snapshots: u1 (2, 3.0) then (3, 6.0); u2 (1, 10.0)
+    assert (1, 2, 3.0) in snaps and (1, 3, 6.0) in snaps and (2, 1, 10.0) in snaps
