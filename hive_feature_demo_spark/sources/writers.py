@@ -1,0 +1,77 @@
+"""Sinks: partitioned / bucketed layouts + idempotent append.
+
+These encode the 100 TB storage decisions the reference only sketches
+(``/root/reference/SCALING.md:24-32`` — star schema, indexes on
+``(promoter_id, genre)``; ``SCALING.md:120`` — idempotent campaign writes):
+
+- **Partitioning** (directory-level) gives Catalyst partition *pruning*: a
+  filter on the partition key never touches non-matching files. Choose
+  low-cardinality, always-filtered keys (date, tenant).
+- **Bucketing** (file-level hash layout, metastore-recorded) pre-shuffles
+  on the join/agg key at write time, so later joins between co-bucketed
+  tables skip the Exchange entirely — the biggest single lever for
+  repeated large-scale joins.
+- **Idempotent append** = anti-join on the business key then append; the
+  parquet-level stand-in for MERGE (Delta/Iceberg at production; plan
+  shape is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by the given columns (hive-style dirs)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (and optionally sorted) catalog table.
+
+    Two tables bucketed identically on the join key join with ZERO shuffle
+    (SortMergeJoin reads co-located buckets). ``n_buckets`` should target
+    128 MB-1 GB per bucket file at production scale.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def append_idempotent(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key_cols: list[str],
+) -> int:
+    """Insert-if-absent on the business key; returns rows actually added.
+
+    Replays of the same batch are no-ops (the reference's aspiration for
+    campaign scheduling, ``SCALING.md:120``). The anti-join touches only
+    the key columns of the target (column-pruned scan).
+    """
+    if not spark.catalog.tableExists(table):
+        df.write.format("parquet").saveAsTable(table)
+        return df.count()
+    existing = spark.table(table).select(*key_cols)
+    fresh = df.join(existing, on=key_cols, how="left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").format("parquet").saveAsTable(table)
+    return n
