@@ -14,6 +14,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     segment,
     streaming_batch,
     textstats,
+    udf_surface,
 )
 from hive_feature_demo_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
 

@@ -1,0 +1,108 @@
+"""Queries exercising every Python-UDF flavor (SURVEY.md §2.3 "UDF surface").
+
+Each is hash-checked: the UDFs are written with order-independent integer
+accumulation or op-for-op IEEE mirroring so Python results equal the
+DuckDB oracle exactly, not just approximately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions import udfs
+from hive_feature_demo_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# q71 — grouped-agg pandas UDF: quantity-weighted mean price per returnflag.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q71_grouped_agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           (CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    category="udf",
+)
+def q71_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            udfs.weighted_avg_cents()("l_extendedprice", "l_quantity").alias(
+                "w_avg_price"
+            )
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — Python UDTF via LATERAL join: text -> one row per sentence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q72_udtf_sentences",
+    oracle=r"""
+    WITH lsts AS (
+      SELECT doc_id, string_split(text, '.') AS lst FROM documents
+    ), flat AS (
+      SELECT doc_id,
+             unnest([{'pos': i, 's': trim(lst[i])}
+                     FOR i IN generate_series(1, len(lst))],
+                    recursive := true)
+      FROM lsts
+    ), kept AS (
+      SELECT doc_id, s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                  AS INT) AS sent_idx
+      FROM flat WHERE s != ''
+    )
+    SELECT doc_id, sent_idx, s AS sentence,
+           CAST(len(regexp_split_to_array(s, '\s+')) AS INT) AS n_tokens
+    FROM kept
+    ORDER BY doc_id, sent_idx
+    """,
+    category="udf",
+)
+def q72_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "documents").createOrReplaceTempView("q72_documents")
+    spark.udtf.register("split_sentences", udfs.make_sentence_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_tokens
+        FROM q72_documents d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q73 — scalar pandas UDF: Arrow-vectorized per-row scoring.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q73_pandas_scalar_score",
+    oracle="""
+    SELECT event_id,
+           FLOOR(ln(1 + value) * 10000.0 + 0.5) / 10000.0 AS score
+    FROM events
+    ORDER BY event_id
+    """,
+    category="udf",
+)
+def q73_pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", udfs.log1p_score()("value").alias("score")
+    ).orderBy("event_id")
