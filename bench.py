@@ -37,6 +37,11 @@ HEADLINE = [
     "q40_tumbling_hourly",
     "q42_sessionization",
     "q44_stream_static_join",
+    "q50_asof_join",
+    "q61_lsh_ann_topk",
+    "q64_tfidf_top_terms",
+    "q69_stream_stream_attribution",
+    "q71_grouped_agg_weighted_avg",
 ]
 
 
@@ -45,8 +50,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
 
-    # warmup: JVM + codegen + parquet footer caches
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warmup: JVM + whole-stage codegen + shuffle machinery + parquet
+    # footer caches — a tiny agg+join compiles the common codegen paths so
+    # the first measured query doesn't absorb them
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

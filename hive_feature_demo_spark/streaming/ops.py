@@ -110,23 +110,39 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, on, how: str = "inn
 
 
 def run_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> None:
     """Drive a streaming DataFrame to completion into an in-memory table.
 
     Synchronous: processes all available input, then stops. The result is
     readable as ``spark.table(name)``.
+
+    ``shuffle_partitions`` sets the state-store partition count for this
+    run (stateful streaming keys state by shuffle partition; unlike batch,
+    AQE does not coalesce these, so the batch default of one-per-core is
+    pure per-micro-batch scheduling overhead at test scale). Production
+    sizes this to the cluster; results never depend on it.
     """
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def click_purchase_join(

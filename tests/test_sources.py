@@ -127,3 +127,29 @@ def test_append_idempotent(spark, tmp_path):
     assert append_idempotent(spark, more, "t_campaigns", ["campaign_id"]) == 1
     assert spark.table("t_campaigns").count() == 3
     spark.sql("DROP TABLE IF EXISTS t_campaigns")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hive_feature_demo_spark.operators.skew import SALT_COL, salted_join
+
+    # heavy skew: 90% of fact rows share key 1
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 7).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(7)], "k long, name string"
+    )
+    plain = fact.join(dim, ["k"])
+    salted = salted_join(fact, dim, ["k"], n_salts=8)
+    assert salted.columns == plain.columns  # salt column dropped
+    a = sorted(tuple(r) for r in plain.collect())
+    b = sorted(tuple(r) for r in salted.collect())
+    assert a == b
+    # left join keeps unmatched large-side rows exactly once
+    dim_partial = dim.filter(F.col("k") != 1)
+    lp = sorted(tuple(r) for r in fact.join(dim_partial, ["k"], "left").collect())
+    ls = sorted(
+        tuple(r) for r in salted_join(fact, dim_partial, ["k"], n_salts=8, how="left").collect()
+    )
+    assert lp == ls
