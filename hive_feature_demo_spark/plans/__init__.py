@@ -11,6 +11,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     mediaops,
     relational,
     relational_ext,
+    relational_more,
     segment,
     streaming_batch,
     textstats,

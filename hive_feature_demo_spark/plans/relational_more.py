@@ -1,0 +1,175 @@
+"""Relational coverage completions: array-agg, full outer join, map/JSON
+functions, analytic windows with frames (SURVEY.md §2.3 rows not yet
+exercised by earlier plan modules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# q74 — collect_list / collect_set: per-nation supplier rosters.
+# Spark's collect_* have nondeterministic element order (arrival order
+# across partitions); sorting before serialization is the only
+# reproducible contract — encoded here as the operator's output shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_collect_arrays",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           COUNT(*) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS roster,
+           string_agg(DISTINCT CAST(s.s_nationkey AS VARCHAR), ',') AS distinct_keys
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    category="relational",
+)
+def q74_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.concat_ws(",", F.array_sort(F.collect_list("s_name"))).alias("roster"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set(F.col("s_nationkey").cast("string")))
+            ).alias("distinct_keys"),
+        )
+        .orderBy("nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — FULL OUTER join: reconcile two per-nation profiles whose key sets
+# differ (high-balance customers vs high-balance suppliers).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q75_full_outer_reconcile",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    category="relational",
+)
+def q75_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — map-typed columns: JSON props -> map<string,string>, keys +
+# element_at access (the map-function surface over real payload data).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q76_map_functions",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    ORDER BY event_id
+    """,
+    category="relational",
+)
+def q76_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        e.select(
+            "event_id",
+            F.concat_ws(",", F.map_keys(m)).alias("prop_keys"),
+            F.size(F.map_keys(m)).alias("n_keys"),
+            F.element_at(m, "k").alias("k_str"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — analytic windows with frames: lag/lead/first/last + a trailing
+# 3-row sum per customer order history. Frame sums use fixed-point cents
+# so the result is independent of evaluation order on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q77_analytic_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_orderkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 100.0 AS trailing3_value
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    category="relational",
+)
+def q77_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(-2, 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            (F.sum(cents).over(wf).cast("double") / F.lit(100.0)).alias(
+                "trailing3_value"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
