@@ -173,3 +173,49 @@ def q77_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — deterministic hash sampling: Bernoulli-by-content-hash, the
+# reproducible sampling pattern at scale (same rows selected under any
+# partitioning, any engine — unlike TABLESAMPLE/rand(), which are both
+# nondeterministic across engines). Rate = 5% via md5 prefix buckets.
+# ---------------------------------------------------------------------------
+
+
+def _sql_hex4_to_int(h: str) -> str:
+    d = "'0123456789abcdef'"
+    terms = [
+        f"(strpos({d}, substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q78_hash_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE {_sql_hex4_to_int("md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))")} % 100 < 5
+    )
+    SELECT COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sampled_value
+    FROM s
+    """,
+    category="relational",
+)
+def q78_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("long") % 100
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        l.filter(bucket < 5)
+        .agg(
+            F.count("*").alias("n_sampled"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sampled_value"),
+        )
+    )

@@ -75,3 +75,25 @@ def append_idempotent(
     if n:
         fresh.write.mode("append").format("parquet").saveAsTable(table)
     return n
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 256,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with file count sized to a target file size.
+
+    Small-file proliferation is the classic lake pathology (a 100 TB table
+    in 4 KB files means metadata-bound scans); conversely one giant file
+    caps parallelism. File count derives from Catalyst's logical size
+    estimate, so compaction needs no extra pass over the data. Returns the
+    chosen file count.
+    """
+    import math
+
+    size_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    n_files = max(1, math.ceil(float(size_bytes) / (target_file_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -153,3 +153,19 @@ def test_salted_join_equals_plain_join(spark):
         tuple(r) for r in salted_join(fact, dim_partial, ["k"], n_salts=8, how="left").collect()
     )
     assert lp == ls
+
+
+def test_write_compacted_sizes_file_count(spark, sf_dir, tmp_path):
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.sources.writers import write_compacted
+
+    li = table(spark, sf_dir, "lineitem")
+    big = write_compacted(li, str(tmp_path / "one"), target_file_mb=4096)
+    assert big == 1
+    n_parts = len([f for f in os.listdir(tmp_path / "one") if f.endswith(".parquet")])
+    assert n_parts == 1
+    small = write_compacted(li, str(tmp_path / "many"), target_file_mb=0.05)
+    assert small > 1
+    n_parts2 = len([f for f in os.listdir(tmp_path / "many") if f.endswith(".parquet")])
+    assert n_parts2 == small
+    assert spark.read.parquet(str(tmp_path / "many")).count() == li.count()
