@@ -219,3 +219,147 @@ def q78_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents).cast("double") / F.lit(100.0)).alias("sampled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — TPC-H Q7 shape: bilateral trade flows between two nations (supplier
+# nation x customer nation x ship-year). Two broadcast dims + the
+# orders<->lineitem co-shuffle; the nation-pair filter prunes early.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q79_nation_trade_flows",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    category="relational",
+)
+def q79_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg((F.sum(units).cast("double") / F.lit(10000.0)).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — TPC-H Q17 shape: revenue locked in small-quantity lineitems,
+# threshold = 0.5 x per-part average quantity (correlated scalar subquery,
+# expressed as an aggregate-then-join — the scalable decorrelated form).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q80_small_qty_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS locked_revenue
+    FROM lineitem l JOIN pavg ON l.l_partkey = pavg.l_partkey
+    WHERE l.l_quantity < 0.5 * pavg.avg_qty
+    """,
+    category="relational",
+)
+def q80_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    pavg = l.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double") / F.count("*")
+        ).alias("avg_qty")
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        l.join(pavg.withColumnRenamed("l_partkey", "p_key"), l.l_partkey == F.col("p_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("locked_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — TPC-H Q20 shape (sans partsupp): suppliers who moved serious volume
+# of a part family — IN-subquery chain decorrelated into semi-join + agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q81_part_family_suppliers",
+    oracle="""
+    WITH green AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%a%'
+    ), vol AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM green)
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, v.total_qty
+    FROM supplier s JOIN vol v ON s.s_suppkey = v.l_suppkey
+    WHERE v.total_qty > 400
+    ORDER BY s.s_suppkey
+    """,
+    category="relational",
+)
+def q81_part_family_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select("p_partkey")
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 400)
+    )
+    return (
+        s.join(vol, s.s_suppkey == vol.l_suppkey)
+        .select("s_suppkey", "s_name", "total_qty")
+        .orderBy("s_suppkey")
+    )
