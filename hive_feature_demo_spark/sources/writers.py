@@ -97,3 +97,42 @@ def write_compacted(
     n_files = max(1, math.ceil(float(size_bytes) / (target_file_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode(mode).parquet(path)
     return n_files
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """SCD-1 MERGE: update matching keys, insert new ones.
+
+    Parquet tables have no row-level transactions, so the merge is
+    re-materialization: anti-join the target against the update keys (rows
+    that survive) + the updates (rows that win). On Delta/Iceberg this maps
+    to a real ``MERGE INTO`` with the identical join shape; the anti-join
+    touches only key columns (column-pruned scan). The rewrite is staged
+    through a temp view to avoid reading the table being overwritten.
+    """
+    if not spark.catalog.tableExists(target_table):
+        # overwrite: a stale on-disk location without catalog metadata (e.g.
+        # from an aborted run) must not block creation
+        updates.write.mode("overwrite").format("parquet").saveAsTable(target_table)
+        return
+    target = spark.table(target_table)
+    survivors = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+    merged = survivors.unionByName(updates)
+    # the merged plan reads the table being replaced, so it must be fully
+    # materialized first — to a staging dir, not cache (DROP TABLE
+    # invalidates dependent cached plans, forcing a re-scan of deleted
+    # files); transactional formats (Delta/Iceberg) make this a real MERGE
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stage = os.path.join(wh, f"_staging_{target_table.replace('.', '_')}")
+    merged.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    spark.sql(f"DROP TABLE {target_table}")
+    staged.write.format("parquet").saveAsTable(target_table)
+    shutil.rmtree(stage, ignore_errors=True)

@@ -255,3 +255,44 @@ def running_user_totals(events: DataFrame, quantize_digits: int | None = None) -
             timeoutConf="NoTimeout",
         )
     )
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    ledger_dir: str,
+    shuffle_partitions: int | None = 8,
+) -> None:
+    """Exactly-once-ish parquet sink via ``foreachBatch`` + a batch ledger.
+
+    ``foreachBatch`` hands (batch_df, batch_id); on restart after a failure
+    the same batch_id can be re-delivered, so the writer records completed
+    ids in a ledger directory and skips replays — idempotent output on top
+    of an at-least-once channel. This is the pattern for sinks without
+    transactional tables; with Delta/Iceberg the txn log replaces the
+    ledger.
+    """
+    import os
+
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"batch-{batch_id}.done")
+        if os.path.exists(marker):  # replayed batch: already committed
+            return
+        batch_df.write.mode("append").parquet(out_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = stream_df.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -169,3 +169,26 @@ def test_write_compacted_sizes_file_count(spark, sf_dir, tmp_path):
     n_parts2 = len([f for f in os.listdir(tmp_path / "many") if f.endswith(".parquet")])
     assert n_parts2 == small
     assert spark.read.parquet(str(tmp_path / "many")).count() == li.count()
+
+
+def test_merge_upsert_scd1(spark):
+    from hive_feature_demo_spark.sources.writers import merge_upsert
+
+    spark.sql("DROP TABLE IF EXISTS t_profiles")
+    base = spark.createDataFrame(
+        [("u1", "chicago", 10.0), ("u2", "aurora", 20.0)],
+        "user_id string, city string, spend double",
+    )
+    merge_upsert(spark, "t_profiles", base, ["user_id"])
+    upd = spark.createDataFrame(
+        [("u2", "joliet", 25.0), ("u3", "peoria", 5.0)],
+        "user_id string, city string, spend double",
+    )
+    merge_upsert(spark, "t_profiles", upd, ["user_id"])
+    rows = sorted(tuple(r) for r in spark.table("t_profiles").collect())
+    assert rows == [
+        ("u1", "chicago", 10.0),
+        ("u2", "joliet", 25.0),   # updated in place
+        ("u3", "peoria", 5.0),    # inserted
+    ]
+    spark.sql("DROP TABLE IF EXISTS t_profiles")

@@ -199,3 +199,28 @@ def test_running_user_totals_stateful(spark, tmp_path):
     ]
     # batch snapshots: u1 (2, 3.0) then (3, 6.0); u2 (1, 10.0)
     assert (1, 2, 3.0) in snaps and (1, 3, 6.0) in snaps and (2, 1, 10.0) in snaps
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch parquet sink: batches land once; a replayed ledger
+    entry suppresses the duplicate write."""
+    batches = [
+        [(1, _ns(0), 1, "view", 1.0, "{}"), (2, _ns(1), 1, "view", 2.0, "{}")],
+        [(3, _ns(2), 2, "view", 3.0, "{}")],
+    ]
+    path = _stream_dir(spark, tmp_path, batches)
+    out = str(tmp_path / "sink")
+    ledger = str(tmp_path / "ledger")
+    stream = ops.events_stream(spark, path, max_files_per_trigger=1)
+    ops.run_foreach_batch_parquet(stream, out, ledger)
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+    n_markers = len(os.listdir(ledger))
+    assert n_markers >= 1
+
+    # simulate an at-least-once redelivery: a fresh stream over the same
+    # input re-delivers batch ids already in the ledger -> no duplicates
+    stream2 = ops.events_stream(spark, path, max_files_per_trigger=1)
+    ops.run_foreach_batch_parquet(stream2, out, ledger)
+    again = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert again == [1, 2, 3]
