@@ -259,3 +259,71 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def avg_vectors(assigned: DataFrame, group_col: str, vec_col: str, digits: int = 6) -> DataFrame:
+    """Per-group mean vector via posexplode/groupBy (no UDF).
+
+    Components are summed in DECIMAL space and floor-rounded so the result
+    is independent of row order — required for deterministic k-means.
+    """
+    per_dim = (
+        assigned.select(group_col, F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy(group_col, "dim")
+        .agg(
+            round_det(
+                F.sum(F.col("val").cast("decimal(25,10)")).cast("double") / F.count("*"),
+                digits,
+            ).alias("mean_val")
+        )
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_val")))
+            ).alias("pairs")
+        )
+        .select(
+            group_col,
+            F.transform("pairs", lambda p: p["mean_val"]).alias(vec_col),
+        )
+    )
+
+
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd k-means for the IVF codebook.
+
+    Init = the ``k`` lowest-id vectors (reproducible, no sampling). Each
+    iteration: broadcast the k centroids, assign every vector to its
+    nearest (argmin L2, rounded + id tie-break — the :func:`ivf_assign`
+    machinery), then recompute per-cluster means with order-independent
+    decimal sums. Per-iteration cost is one narrow pass over the corpus +
+    a k x dim aggregate; nothing large ever shuffles. Returns centroids as
+    ``(cid, <vec_col>)``.
+    """
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col))
+        .withColumn("cid", F.row_number().over(Window.orderBy("cid")) - 1)
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            vectors,
+            cents.withColumnRenamed("cid", id_col),
+            id_col=id_col,
+            vec_col=vec_col,
+            nprobe=1,
+            out_id="row_id",
+        )
+        cents = avg_vectors(
+            assigned.select("cid", F.col("v_vec").alias(vec_col)), "cid", vec_col
+        )
+    return cents

@@ -78,3 +78,33 @@ def parse_fan_dates(df: DataFrame) -> DataFrame:
     return df.withColumn(
         "last_purchase_date", F.to_date("last_purchase_date", "yyyy-MM-dd")
     )
+
+
+def read_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    multiline: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingest that splits (good_rows, quarantined_raw).
+
+    The lake-scale alternative to FAILFAST: schema-conforming rows flow
+    through; malformed records land, raw, in a quarantine frame keyed by
+    ``_corrupt_record`` for offline repair — bad bytes never abort a
+    100 TB backfill and never silently become nulls either.
+    """
+    with_corrupt = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("multiLine", multiline)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # Spark requires materialization before filtering on
+        # _corrupt_record (SPARK-21610: raw-record queries alone are banned)
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad

@@ -95,3 +95,46 @@ def test_lsh_topk_is_subset_of_bruteforce(vecs_df):
     assert a <= b or all(x[2] is not None for x in a)  # candidates score identically
     # identical vectors always share every bucket -> (0,1) must be found
     assert any(q == 0 and n == 1 for q, n, _ in a)
+
+
+def test_train_centroids_matches_numpy_lloyd(spark, sf_dir):
+    """Distributed deterministic k-means == single-node Lloyd reference
+    (same init, same argmin tie-breaks, same rounded means)."""
+    import math
+
+    import numpy as np
+
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.operators import similarity
+
+    k, iters, digits = 8, 2, 6
+    emb = table(spark, sf_dir, "embeddings")
+    got = {
+        r["cid"]: list(r["embedding"])
+        for r in similarity.train_centroids(emb, k=k, iters=iters).collect()
+    }
+
+    rows = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in emb.collect()
+    )
+    vecs = np.stack([v for _, v in rows])
+    cents = vecs[:k].copy()
+
+    def round_det_py(x):
+        return math.floor(x * 10**digits + 0.5) / 10**digits
+
+    for _ in range(iters):
+        # same metric as ivf_assign: rounded L2, centroid-id tie-break
+        assign = []
+        for v in vecs:
+            dists = [round_det_py(float(np.sqrt(((v - c) ** 2).sum()))) for c in cents]
+            assign.append(int(np.argmin(dists)))  # argmin takes first on ties
+        new = []
+        for cid in range(k):
+            members = vecs[[i for i, a in enumerate(assign) if a == cid]]
+            new.append([round_det_py(float(c)) for c in members.mean(axis=0)])
+        cents = np.array(new)
+
+    for cid in range(k):
+        assert got[cid] == [pytest.approx(x, abs=1e-9) for x in cents[cid]], cid

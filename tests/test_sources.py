@@ -192,3 +192,17 @@ def test_merge_upsert_scd1(spark):
         ("u3", "peoria", 5.0),    # inserted
     ]
     spark.sql("DROP TABLE IF EXISTS t_profiles")
+
+
+def test_json_quarantine_split(spark, tmp_path):
+    from hive_feature_demo_spark.sources.readers import read_json_quarantine
+
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id": "a", "n": 1}\n{"id": "b", "n": "BAD"}\n{"id": "c", "n": 3}\n')
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["n"]) for r in good.collect()) == [("a", 1), ("c", 3)]
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(quarantined) == 1 and "BAD" in quarantined[0]
