@@ -166,3 +166,49 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), n_centroids=16, nprobe=4, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — IVF with a TRAINED codebook: deterministic distributed Lloyd
+# k-means (operators/similarity.train_centroids) feeding the same
+# assign/probe/re-rank plan as q63. Iterative training is not
+# SQL-expressible, so this registers without an oracle (rows-only check);
+# the training itself is verified exactly against a NumPy Lloyd reference
+# in tests/test_dedup_similarity.py.
+# ---------------------------------------------------------------------------
+
+
+@register("q82_ivf_trained_topk", oracle=None, category="ann")
+def q82_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, k=8, iters=2).withColumnRenamed(
+        "cid", "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    lists = similarity.ivf_assign(
+        emb, cents, nprobe=1, out_id="neighbor_id"
+    ).withColumnRenamed("v_vec", "c_vec")
+    probes = similarity.ivf_assign(
+        queries, cents, nprobe=2, out_id="query_id"
+    ).withColumnRenamed("v_vec", "q_vec")
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.functions.numeric import round_det
+
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_det(similarity.cosine(F.col("c_vec"), F.col("q_vec")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
