@@ -327,3 +327,54 @@ def train_centroids(
             assigned.select("cid", F.col("v_vec").alias(vec_col)), "cid", vec_col
         )
     return cents
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+    n_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH: union of candidates over ``n_tables`` independent
+    hash tables, then exact re-rank — the standard recall lever (miss
+    probability decays as ``p^T``).
+
+    All T signatures are computed in ONE pass over the corpus
+    (posexplode of the signature array), so the 100 TB side is still
+    scanned once; the join key is ``(table_idx, signature)``. Candidate
+    pairs found by several tables are deduplicated before scoring.
+    """
+    all_planes = [hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
+
+    def tagged(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        sigs = F.array(*[rp_signature(F.col(vec_col), p) for p in all_planes])
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(sigs).alias("tbl", "sig"),
+        )
+
+    c = tagged(corpus, "neighbor_id", "c_vec")
+    q = tagged(queries, "query_id", "q_vec")
+    pairs = (
+        c.join(F.broadcast(q), ["tbl", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_vec", "q_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        round_det(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

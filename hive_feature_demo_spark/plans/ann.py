@@ -212,3 +212,67 @@ def q82_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — multi-table LSH (3 tables): the recall lever. The oracle replays
+# all three plane sets (zipped unnest = Spark's posexplode) and the same
+# dedup-then-rerank, so the multi-table path is fully hash-checked too.
+# ---------------------------------------------------------------------------
+
+_N_TABLES = 3
+_ALL_PLANES = [similarity.hyperplanes(_DIM, _BITS, seed=42 + t) for t in range(_N_TABLES)]
+
+
+def _sql_sig_for(planes: list[list[float]], vec_expr: str) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_sql_array(p)}) >= 0"
+        " THEN '1' ELSE '0' END"
+        for p in planes
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+@register(
+    "q84_lsh_multitable_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             unnest(generate_series(0, {_N_TABLES - 1})) AS tbl,
+             unnest([{", ".join(_sql_sig_for(p, "embedding::DOUBLE[]") for p in _ALL_PLANES)}]) AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             unnest(generate_series(0, {_N_TABLES - 1})) AS tbl,
+             unnest([{", ".join(_sql_sig_for(p, "embedding::DOUBLE[]") for p in _ALL_PLANES)}]) AS sig
+      FROM embeddings WHERE vec_id < 20
+    ), pairs AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id, q.qv, c.cv
+      FROM c JOIN q USING (tbl, sig)
+      WHERE c.neighbor_id != q.query_id
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             {sql_round_det(_COS.format(a="qv", b="cv"), 4)} AS cos_sim
+      FROM pairs
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
+def q84_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_multitable_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        dim=_DIM,
+        k=5,
+        bits=_BITS,
+        n_tables=_N_TABLES,
+        seed=42,
+    )

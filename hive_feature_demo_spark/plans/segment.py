@@ -262,3 +262,42 @@ def q21_schedule_campaign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2025-06-21T19:00:00").alias("send_at"),
     )
     return schedule_campaign(drafts).orderBy("segment_id")
+
+
+# ---------------------------------------------------------------------------
+# q83 — A19/A20 client display metrics, engine-side: months-ago uses the
+# UI's days/30 divisor with Math.round semantics (floor(x+0.5), positive
+# domain) — deliberately distinct from the days/30.44 FILTER divisor
+# (reference AudienceCard.tsx:58-60 vs tools.py:31-34; SURVEY §7.4 trap 3)
+# — plus the SMS 160-char guard shape (CampaignPreview.tsx:92-93).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q83_fan_display_metrics",
+    oracle=f"""
+    SELECT id,
+           CAST(FLOOR(datediff('day', last_purchase_date, DATE '2024-11-01')
+                      / 30.0 + 0.5) AS BIGINT) AS months_ago_display,
+           CAST(LENGTH(first_name || ' ' || last_name || ' — ' || city)
+                AS BIGINT) AS card_chars,
+           LENGTH(first_name || ' ' || last_name || ' — ' || city) > 160
+             AS over_sms_limit
+    FROM read_parquet('{FANS_PARQUET}')
+    ORDER BY id
+    """,
+    category="segment",
+)
+def q83_fan_display_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fans = _fans(spark)
+    days = F.datediff(F.lit(REF_TODAY.isoformat()).cast("date"), "last_purchase_date")
+    card = F.concat_ws(" — ", F.concat_ws(" ", "first_name", "last_name"), F.col("city"))
+    return (
+        fans.select(
+            "id",
+            F.floor(days / 30.0 + F.lit(0.5)).cast("long").alias("months_ago_display"),
+            F.length(card).cast("long").alias("card_chars"),
+            (F.length(card) > 160).alias("over_sms_limit"),
+        )
+        .orderBy("id")
+    )
