@@ -60,7 +60,14 @@ def llm_generate(
     cols = [out["*"]]
     for name, fb in fallback.items():
         cols.append(F.coalesce(parsed[name], fb).alias(name))
+    # malformed JSON yields a non-null struct with all-null fields
+    # (PERMISSIVE from_json), so "fallback used" = no declared field parsed
+    all_fields_null = F.lit(True)
+    for name in fallback:
+        all_fields_null = all_fields_null & parsed[name].isNull()
     cols.append(
-        (F.col("reply").isNull() | parsed.isNull()).alias("used_fallback")
+        (F.col("reply").isNull() | parsed.isNull() | all_fields_null).alias(
+            "used_fallback"
+        )
     )
     return out.select(*cols)

@@ -63,3 +63,43 @@ def test_schedule_idempotent_ids(spark):
     drafts2 = drafts.withColumn("send_at", F.lit("2025-03-02T10:00:00"))
     r3 = schedule_campaign(drafts2).collect()[0]
     assert r3["campaign_id"] != r1["campaign_id"]
+
+
+def test_llm_generate_mock_model_with_fallback(spark):
+    """LLM mode: an Arrow-batched mock model answers valid JSON for even
+    ids and garbage for odd ids; parsed rows keep the model reply, garbage
+    rows take the fallback with used_fallback=True."""
+    from pyspark.sql import functions as F
+
+    from hive_feature_demo_spark.operators.llm import llm_generate
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(6)], "doc_id long, source string")
+
+    def mock_llm(batches):
+        import json
+
+        for pdf in batches:
+            replies = [
+                json.dumps({"summary": f"model-{d}"}) if d % 2 == 0 else "NOT JSON"
+                for d in pdf["doc_id"]
+            ]
+            pdf = pdf.copy()
+            pdf["reply"] = replies
+            yield pdf
+
+    out = llm_generate(
+        df,
+        prompt_template="Summarize {doc_id}",
+        reply_schema="summary string",
+        fallback={"summary": F.format_string("fallback-%s", F.col("doc_id"))},
+        llm_fn=mock_llm,
+    ).orderBy("doc_id")
+    rows = [(r["doc_id"], r["summary"], r["used_fallback"]) for r in out.collect()]
+    assert rows == [
+        (0, "model-0", False),
+        (1, "fallback-1", True),
+        (2, "model-2", False),
+        (3, "fallback-3", True),
+        (4, "model-4", False),
+        (5, "fallback-5", True),
+    ]
