@@ -250,3 +250,58 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("simhash")
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster ids for an undirected pair graph: min-label propagation.
+
+    Near-dup *pairs* are not enough for dedup — transitive chains
+    (A~B~C) must collapse into one cluster with one survivor. Each
+    iteration joins current labels across edges (both directions) and
+    takes the min; convergence is checked with a count of changed labels
+    (driver-side scalar only — no data collected). Iterations needed =
+    graph diameter; near-dup graphs are shallow (dup chains, not paths),
+    so this terminates in a handful of rounds. The large-star/small-star
+    variant drops diameter to O(log n) if ever needed.
+
+    Returns ``(node, cluster)`` where cluster = min node id reachable.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

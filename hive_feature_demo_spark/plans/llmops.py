@@ -621,3 +621,72 @@ def q38_asset_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     assets = multimodal.assets_from_documents(docs)
     return multimodal.asset_digests(assets).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# q86 — transitive near-dup CLUSTERS: Jaccard pairs (q39's edge set) closed
+# under transitivity via distributed min-label propagation
+# (operators/dedup.connected_components). Pairs alone under-dedup: A~B~C
+# must collapse to one survivor even when A!~C. The oracle replays the
+# closure with a recursive CTE over the identical pair SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q86_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+    SELECT cluster,
+           COUNT(*) AS n_members,
+           MIN(node) AS survivor_id,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    category="llmops",
+)
+def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("survivor_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+            ).alias("members"),
+        )
+        .orderBy("cluster")
+    )

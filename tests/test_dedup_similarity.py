@@ -138,3 +138,14 @@ def test_train_centroids_matches_numpy_lloyd(spark, sf_dir):
 
     for cid in range(k):
         assert got[cid] == [pytest.approx(x, abs=1e-9) for x in cents[cid]], cid
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B~C collapses into one cluster even though A!~C; D~E separate."""
+    from hive_feature_demo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
