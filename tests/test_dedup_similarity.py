@@ -149,3 +149,33 @@ def test_connected_components_transitive_chain(spark):
     )
     comp = {r["node"]: r["cluster"] for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_lsh_recall_and_multitable_improvement(spark, sf_dir):
+    """LSH recall@5 vs brute-force ground truth is meaningful, and adding
+    hash tables can only add candidate pairs (recall is monotone in T)."""
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(similarity.cosine_topk(emb, queries, k=5))
+    one = pairs(
+        similarity.lsh_bucketed_topk(emb, queries, dim=64, k=5, bits=8, seed=42)
+    )
+    multi = pairs(
+        similarity.lsh_multitable_topk(
+            emb, queries, dim=64, k=5, bits=8, n_tables=3, seed=42
+        )
+    )
+    recall_one = len(one & truth) / len(truth)
+    recall_multi = len(multi & truth) / len(truth)
+    assert recall_multi >= recall_one  # more tables never hurt
+    # candidate coverage strictly grows with tables (union of buckets);
+    # absolute recall on *random* embeddings at tiny SF is inherently low,
+    # so the floor is structural, not numeric
+    assert len(multi) >= len(one)
