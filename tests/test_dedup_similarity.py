@@ -179,3 +179,61 @@ def test_lsh_recall_and_multitable_improvement(spark, sf_dir):
     # absolute recall on *random* embeddings at tiny SF is inherently low,
     # so the floor is structural, not numeric
     assert len(multi) >= len(one)
+
+
+def test_ml_minhashlsh_agrees_on_exact_duplicates(spark, sf_dir):
+    """Stock ml.feature.MinHashLSH (SURVEY §2.3's built-in mapping) must
+    place exact duplicate documents at distance 0 — cross-checks our
+    custom MinHash pipeline against Spark ML's implementation."""
+    pytest.importorskip("pyspark.ml.feature")
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F2
+
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.operators import textops
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # inject guaranteed duplicates: copies of three docs under new ids
+    copies = (
+        base.orderBy("doc_id")
+        .limit(3)
+        .select((F2.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    docs = base.unionByName(copies)
+
+    shingled = docs.select(
+        "doc_id",
+        textops.word_shingles(textops.tokens("text"), n=3).alias("shingles"),
+    ).filter(F2.size("shingles") > 0)
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+    model = cv.fit(shingled)
+    feats = model.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    lsh_model = lsh.fit(feats)
+    pairs = (
+        lsh_model.approxSimilarityJoin(feats, feats, 0.1, distCol="jd")
+        .filter(F2.col("datasetA.doc_id") < F2.col("datasetB.doc_id"))
+        .select(
+            F2.col("datasetA.doc_id").alias("id_a"),
+            F2.col("datasetB.doc_id").alias("id_b"),
+            "jd",
+        )
+        .collect()
+    )
+    ml_pairs = {(r["id_a"], r["id_b"]) for r in pairs if r["jd"] == 0.0}
+    # our exact clusters: every same-digest pair must be found by ML LSH at
+    # distance 0 (identical shingle sets collide in every hash table)
+    digests = docs.select(
+        "doc_id", textops.normalized_md5("text").alias("digest")
+    ).collect()
+    by_digest: dict[str, list[int]] = {}
+    for r in digests:
+        by_digest.setdefault(r["digest"], []).append(r["doc_id"])
+    want = {
+        (min(a, b), max(a, b))
+        for ids in by_digest.values()
+        if len(ids) > 1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    assert want <= ml_pairs
