@@ -95,3 +95,24 @@ def _normalize(df: DataFrame) -> DataFrame:
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
             )
     return df
+
+
+def analyze_tables(
+    spark: SparkSession, database: str = "star", columns: dict[str, list[str]] | None = None
+) -> None:
+    """Populate metastore statistics for the cost-based optimizer.
+
+    At 100 TB the CBO's join reordering and broadcast decisions are only
+    as good as its stats; table-level rowCount/sizeInBytes plus column
+    NDV/min/max histograms are what it consumes. Run after bulk loads.
+    """
+    for name in TESTDATA_TABLES:
+        if not spark.catalog.tableExists(f"{database}.{name}"):
+            continue
+        spark.sql(f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS")
+        cols = (columns or {}).get(name)
+        if cols:
+            spark.sql(
+                f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(cols)}"
+            )

@@ -136,3 +136,52 @@ def merge_upsert(
     spark.sql(f"DROP TABLE {target_table}")
     staged.write.format("parquet").saveAsTable(target_table)
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def morton_key(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative int columns.
+
+    Sorting/range-partitioning on this key clusters rows that are close in
+    BOTH dimensions into the same files, so parquet min/max pruning skips
+    files for 2-D selective filters (the layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER). Pure bit ops — JVM-side, codegen'd.
+    """
+    from pyspark.sql import Column, functions as F
+
+    def _col(x):
+        return F.col(x) if isinstance(x, str) else x
+
+    a_c, b_c = _col(a).cast("long"), _col(b).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a_c, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b_c, i).bitwiseAND(F.lit(1))
+        out = (
+            out.bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned + sorted on the Morton key of two
+    columns — each output file covers a compact 2-D tile, maximizing
+    min/max skipping for filters on either or both dimensions."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn("__z__", morton_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode(mode)
+        .parquet(path)
+    )

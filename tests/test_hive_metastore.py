@@ -34,6 +34,13 @@ rows = spark.sql(
 ).collect()
 assert len(rows) == 5, rows
 
+# CBO statistics: ANALYZE populates rowCount the optimizer consumes
+from hive_feature_demo_spark.catalog import analyze_tables
+analyze_tables(spark, "star", columns={{"nation": ["n_nationkey", "n_name"]}})
+desc = spark.sql("DESCRIBE TABLE EXTENDED star.nation").collect()
+stats_row = [r for r in desc if r["col_name"] == "Statistics"]
+assert stats_row and "rows" in stats_row[0]["data_type"], desc
+
 # managed-table round trip (write through the metastore, read back)
 spark.sql("DROP TABLE IF EXISTS star.campaigns_t")
 spark.createDataFrame(

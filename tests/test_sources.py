@@ -206,3 +206,54 @@ def test_json_quarantine_split(spark, tmp_path):
     assert sorted((r["id"], r["n"]) for r in good.collect()) == [("a", 1), ("c", 3)]
     quarantined = [r["_corrupt_record"] for r in bad.collect()]
     assert len(quarantined) == 1 and "BAD" in quarantined[0]
+
+
+def test_morton_key_matches_python_reference(spark):
+    from hive_feature_demo_spark.sources.writers import morton_key
+
+    def morton_py(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    df = spark.createDataFrame(
+        [(a, b) for a in [0, 1, 5, 255, 65535] for b in [0, 3, 7, 1024]],
+        "a long, b long",
+    )
+    rows = df.select("a", "b", morton_key("a", "b").alias("z")).collect()
+    for r in rows:
+        assert r["z"] == morton_py(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_write_zordered_clusters_files(spark, sf_dir, tmp_path):
+    """Each z-ordered file covers a compact 2-D tile: per-file min/max
+    ranges of both columns are (on average) much narrower than the global
+    range, which is exactly what parquet min/max skipping exploits."""
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.sources.writers import write_zordered
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = str(tmp_path / "zordered")
+    write_zordered(li, out, "l_orderkey", "l_partkey", n_files=8)
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    glob_min, glob_max = None, None
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, f), columns=["l_orderkey"])
+        col = t["l_orderkey"].to_pylist()
+        if not col:
+            continue
+        spans.append(max(col) - min(col))
+        lo, hi = min(col), max(col)
+        glob_min = lo if glob_min is None else min(glob_min, lo)
+        glob_max = hi if glob_max is None else max(glob_max, hi)
+    assert len(spans) > 2
+    avg_span = sum(spans) / len(spans)
+    # files cover compact tiles: average per-file span well under global
+    assert avg_span < 0.8 * (glob_max - glob_min)
