@@ -1,0 +1,162 @@
+"""Statistical analysis queries: histograms, correlation, edit distance.
+
+Profile-style operators a training-data pipeline runs before/after
+transformations (value distributions, feature correlation, fuzzy string
+matching). All exact and hash-checked — correlation is computed from
+fixed-point integer power sums rather than ``F.corr`` (whose streaming
+update order differs between engines in the last ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import sql_round_det
+from hive_feature_demo_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# q87 — equal-width histogram of event values (fixed [0, 500) domain, 20
+# bins). Fixed bounds avoid a second pass and make bin edges stable as
+# data grows — the production profile choice; clamp catches outliers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q87_value_histogram",
+    oracle="""
+    SELECT LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), 19) AS bin,
+           COUNT(*) AS n,
+           (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)
+             AS bin_value_sum
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="stats",
+)
+def q87_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0).cast("long"), F.lit(0).cast("long")),
+        F.lit(19).cast("long"),
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        e.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("bin_value_sum"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q88 — exact Pearson correlation from integer power sums. F.corr /
+# DuckDB corr() use streaming covariance updates whose float error depends
+# on row order; the closed form over fixed-point sums is order-free:
+# r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)).
+# ---------------------------------------------------------------------------
+
+
+_CORR_NUM = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_CORR_DEN = (
+    "(SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+
+@register(
+    "q88_qty_price_correlation",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS BIGINT)) AS sx,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+             CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0)) * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {sql_round_det(f"{_CORR_NUM} / {_CORR_DEN}", 8)} AS qty_price_corr
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    category="stats",
+)
+def q88_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.numeric import round_det
+
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y.cast("decimal(38,0)") * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    num = n_d * F.col("sxy") - sx_d * sy_d
+    den = F.sqrt(n_d * F.col("sxx") - sx_d * sx_d) * F.sqrt(
+        n_d * F.col("syy") - sy_d * sy_d
+    )
+    return s.select(
+        "l_returnflag", "n", round_det(num / den, 8).alias("qty_price_corr")
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q89 — fuzzy string matching: near-identical supplier names by Levenshtein
+# distance within a nation (blocking key). Integer-exact on both engines;
+# blocking turns the O(n^2) comparison into per-group work — the standard
+# entity-resolution shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q89_name_edit_distance",
+    oracle="""
+    SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 3
+    ORDER BY key_a, key_b
+    """,
+    category="stats",
+)
+def q89_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    a = s.select(
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "nk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(dist <= 3)
+        .select(
+            "key_a", "key_b", "name_a", "name_b", dist.cast("long").alias("edit_dist")
+        )
+        .orderBy("key_a", "key_b")
+    )
