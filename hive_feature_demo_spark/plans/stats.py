@@ -160,3 +160,109 @@ def q89_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — ordered funnel (view -> click -> purchase): a user advances a
+# stage only with a LATER event of the next type. Chained agg->join
+# stages, all co-partitioned on user_id (one shuffle key end to end) —
+# the scalable funnel shape, no per-user UDFs, no self cross joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q90_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(t_view) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    category="stats",
+)
+def q90_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    counts = [
+        v.agg(F.count("t_view").alias("n_viewed")),
+        c.agg(F.count("*").alias("n_clicked_after_view")),
+        p.agg(F.count("*").alias("n_purchased_after_click")),
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+# ---------------------------------------------------------------------------
+# q91 — retention cohorts: users grouped by first-seen day; next-day and
+# 7-day retention per cohort. first-day agg + distinct activity days,
+# both keyed on user_id — the standard cohort-matrix shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q91_retention_cohorts",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT fd.cohort_day,
+           COUNT(DISTINCT fd.user_id) AS cohort_size,
+           COUNT(DISTINCT CASE WHEN a.d = fd.cohort_day + 1
+                               THEN fd.user_id END) AS retained_d1,
+           COUNT(DISTINCT CASE WHEN a.d >= fd.cohort_day + 7
+                               THEN fd.user_id END) AS retained_d7plus
+    FROM fd JOIN act a ON fd.user_id = a.user_id
+    GROUP BY fd.cohort_day
+    ORDER BY fd.cohort_day
+    """,
+    category="stats",
+)
+def q91_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    act = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    j = fd.join(act, "user_id")
+    return (
+        j.groupBy("cohort_day")
+        .agg(
+            F.countDistinct("user_id").alias("cohort_size"),
+            F.countDistinct(
+                F.when(F.col("d") == F.date_add(F.col("cohort_day"), 1), F.col("user_id"))
+            ).alias("retained_d1"),
+            F.countDistinct(
+                F.when(F.col("d") >= F.date_add(F.col("cohort_day"), 7), F.col("user_id"))
+            ).alias("retained_d7plus"),
+        )
+        .orderBy("cohort_day")
+    )
