@@ -266,3 +266,58 @@ def q91_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — data-quality constraint report (deequ-style): each rule becomes
+# one aggregate over a single shared scan (Catalyst collapses the CASE
+# aggregates into one pass); output = one row per rule with pass/fail.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q92_data_quality_report",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_custkey) AS null_custkey,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey,
+             COUNT(*) FILTER (o_totalprice <= 0) AS nonpositive_price,
+             COUNT(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01 00:00:00') AS date_below_min
+      FROM orders
+    )
+    SELECT rule, violations, violations = 0 AS passed FROM (
+      SELECT 'custkey_not_null' AS rule, null_custkey AS violations FROM m
+      UNION ALL SELECT 'orderkey_unique', dup_orderkey FROM m
+      UNION ALL SELECT 'totalprice_positive', nonpositive_price FROM m
+      UNION ALL SELECT 'orderdate_in_range', date_below_min FROM m
+    )
+    ORDER BY rule
+    """,
+    category="stats",
+)
+def q92_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_orderkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        F.count(
+            F.when(
+                F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp"), 1
+            )
+        ).alias("date_below_min"),
+    )
+    rules = [
+        ("custkey_not_null", "null_custkey"),
+        ("orderkey_unique", "dup_orderkey"),
+        ("totalprice_positive", "nonpositive_price"),
+        ("orderdate_in_range", "date_below_min"),
+    ]
+    out = None
+    for rule, colname in rules:
+        row = m.select(
+            F.lit(rule).alias("rule"), F.col(colname).alias("violations")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.withColumn("passed", F.col("violations") == 0).orderBy("rule")
