@@ -378,3 +378,60 @@ def lsh_multitable_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: per-subvector nearest-centroid ids.
+
+    The vector splits into ``m`` subvectors; each is quantized against the
+    (broadcast) codebook's matching slice — compressing dim x 4 bytes to
+    ``m`` small codes, the memory trick that lets IVF-PQ indexes hold
+    billions of vectors in RAM. Fully distributed: posexplode the slices,
+    broadcast-join the sub-codebooks, argmin per (vector, subvector) with
+    rounded distances + centroid-id tie-breaks (deterministic under any
+    partitioning). Output: ``(id, pq_code)`` with the code as a
+    zero-padded digit string (engine-portable representation).
+    """
+    sub = dim // m
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def sliced(df: DataFrame, out_id: str) -> DataFrame:
+        slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
+        )
+
+    v = sliced(corpus, "vid")
+    c = sliced(centroids, "cid").withColumnRenamed("subvec", "csub")
+    w = Window.partitionBy("vid", "j").orderBy(F.asc("dist"), F.asc("cid"))
+    codes = (
+        v.join(F.broadcast(c), "j")
+        .select(
+            "vid",
+            "j",
+            "cid",
+            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        codes.groupBy(F.col("vid").alias(id_col))
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "cid"))),
+                    lambda p: F.lpad(p["cid"].cast("string"), 2, "0"),
+                ),
+            ).alias("pq_code")
+        )
+        .orderBy(id_col)
+    )

@@ -276,3 +276,45 @@ def q84_lsh_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=_N_TABLES,
         seed=42,
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — product-quantization encode (the IVF-PQ memory layer): 64 dims ->
+# 8 sub-codes against a 16-entry codebook (lowest-id vectors, like q63).
+# Oracle replays slice/argmin/concat with identical rounding + tie-breaks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q93_pq_encode",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings WHERE vec_id < 16
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), scored AS (
+      SELECT v.vec_id, t.j, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, t.j
+               ORDER BY (FLOOR(list_distance(v.ve[t.j*8+1 : t.j*8+8],
+                                             c.ce[t.j*8+1 : t.j*8+8])
+                               * 1000000.0 + 0.5) / 1000000.0), c.cid
+             ) AS rn
+      FROM v, cent c, generate_series(0, 7) t(j)
+    ), codes AS (
+      SELECT vec_id, j, cid FROM scored WHERE rn = 1
+    )
+    SELECT vec_id,
+           string_agg(lpad(CAST(cid AS VARCHAR), 2, '0'), '' ORDER BY j) AS pq_code
+    FROM codes
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    category="ann",
+)
+def q93_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(
+        emb, emb.filter(F.col("vec_id") < 16), m=8, dim=_DIM
+    )
