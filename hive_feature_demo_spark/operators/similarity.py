@@ -435,3 +435,70 @@ def pq_encode(
         )
         .orderBy(id_col)
     )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC).
+
+    Corpus vectors exist only as ``m`` sub-codes; each query computes a
+    distance table to every sub-codebook entry (m x |codebook| scalars,
+    broadcast), and candidate distance = sum of table lookups — no
+    full-vector math against the corpus at query time. This is how PQ
+    indexes scan billions of codes cheaply; exactness is traded for the
+    quantization error. Deterministic: rounded sub-distances, exact
+    decimal sums, id tie-breaks.
+    """
+    sub = dim // m
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def sliced(df: DataFrame, out_id: str) -> DataFrame:
+        slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
+        )
+
+    c = sliced(centroids, "cid").withColumnRenamed("subvec", "csub")
+    v = sliced(corpus, "neighbor_id")
+    w_code = Window.partitionBy("neighbor_id", "j").orderBy(F.asc("dist"), F.asc("cid"))
+    codes = (
+        v.join(F.broadcast(c), "j")
+        .select(
+            "neighbor_id",
+            "j",
+            "cid",
+            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "j", "cid")
+    )
+    q = sliced(queries, "query_id")
+    d = round_det(l2(F.col("subvec"), F.col("csub")), 6)
+    qtab = q.join(F.broadcast(c), "j").select(
+        "query_id", "j", "cid", (d * d).alias("d2")
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["j", "cid"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            round_det(
+                F.sum(F.col("d2").cast("decimal(25,10)")).cast("double"), 6
+            ).alias("adc_dist2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -318,3 +318,66 @@ def q93_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(
         emb, emb.filter(F.col("vec_id") < 16), m=8, dim=_DIM
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — PQ search via asymmetric distance computation: candidates scored
+# as sums of per-subvector table lookups against the q93 codes. The
+# oracle replays codes, distance tables, and the exact-decimal sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q94_pq_adc_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings WHERE vec_id < 16
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), code_scored AS (
+      SELECT v.vec_id AS neighbor_id, t.j, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, t.j
+               ORDER BY (FLOOR(list_distance(v.ve[t.j*8+1 : t.j*8+8],
+                                             c.ce[t.j*8+1 : t.j*8+8])
+                               * 1000000.0 + 0.5) / 1000000.0), c.cid
+             ) AS rn
+      FROM v, cent c, generate_series(0, 7) t(j)
+    ), codes AS (
+      SELECT neighbor_id, j, cid FROM code_scored WHERE rn = 1
+    ), qtab AS (
+      SELECT q.vec_id AS query_id, t.j, c.cid,
+             POWER(FLOOR(list_distance(q.ve[t.j*8+1 : t.j*8+8],
+                                       c.ce[t.j*8+1 : t.j*8+8])
+                         * 1000000.0 + 0.5) / 1000000.0, 2) AS d2
+      FROM v q, cent c, generate_series(0, 7) t(j)
+      WHERE q.vec_id < 10
+    ), scored AS (
+      SELECT qt.query_id, cd.neighbor_id,
+             FLOOR(CAST(SUM(CAST(qt.d2 AS DECIMAL(25,10))) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS adc_dist2
+      FROM codes cd JOIN qtab qt USING (j, cid)
+      WHERE cd.neighbor_id != qt.query_id
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist2, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
+def q94_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") < 16),
+        m=8,
+        dim=_DIM,
+        k=5,
+    )
