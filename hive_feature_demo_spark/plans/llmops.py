@@ -690,3 +690,69 @@ def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — the dedup END USE: the kept corpus. Drop every cluster member
+# except the survivor (min doc_id), via broadcast anti-join of the q86
+# cluster assignment against the documents table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q95_dedup_kept_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+    drops AS (
+      SELECT c.node FROM comp c
+      JOIN (SELECT cluster, MIN(node) AS survivor FROM comp GROUP BY cluster) s
+        ON c.cluster = s.cluster
+      WHERE c.node != s.survivor
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drops)
+    ORDER BY d.doc_id
+    """,
+    category="llmops",
+)
+def q95_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    survivors = comp.groupBy("cluster").agg(F.min("node").alias("survivor"))
+    drops = (
+        comp.join(survivors, "cluster")
+        .filter(F.col("node") != F.col("survivor"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

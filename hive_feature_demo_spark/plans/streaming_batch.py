@@ -406,3 +406,49 @@ def q70_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q96 — REAL sliding-window incremental run (2h window / 1h slide),
+# hash-checked against the batch double-count (each event lands in two
+# overlapping windows).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q96_streaming_sliding",
+    oracle=f"""
+    WITH slid AS (
+      SELECT date_trunc('hour', ts) AS w1, date_trunc('hour', ts) - INTERVAL 1 HOUR AS w2,
+             event_type
+      FROM events
+    ), unioned AS (
+      SELECT w1 AS window_start, event_type FROM slid
+      UNION ALL
+      SELECT w2, event_type FROM slid
+    )
+    SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM unioned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="streaming",
+)
+def q96_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"q96_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("window_start", "event_type")
