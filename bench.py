@@ -42,6 +42,9 @@ HEADLINE = [
     "q64_tfidf_top_terms",
     "q69_stream_stream_attribution",
     "q71_grouped_agg_weighted_avg",
+    "q86_near_dup_clusters",
+    "q90_event_funnel",
+    "q93_pq_encode",
 ]
 
 

@@ -274,6 +274,10 @@ def connected_components(
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # materialize the edge set once: every iteration joins against it, and
+    # without this the (possibly expensive) upstream pair-generation plan
+    # re-executes per iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
