@@ -78,7 +78,10 @@ def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= threshold)."""
-    sh = shingle_index(df, id_col, text_col, n)
+    # materialize the index once: it feeds BOTH self-join sides and the
+    # size table, and the shingling expression (regex split + per-position
+    # slices) dominates cost if re-executed per consumer
+    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
