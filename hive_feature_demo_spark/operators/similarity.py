@@ -502,3 +502,79 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """The full production vector index: IVF pruning + PQ-ADC scoring.
+
+    Coarse quantizer restricts candidates to ``nprobe`` inverted lists
+    (~nprobe/n_centroids of the corpus touched), then candidates are
+    scored from their PQ codes via the query's broadcast distance tables —
+    at no point does query-time math touch a full corpus vector. This is
+    the FAISS IVFPQ layout expressed as three broadcast joins + one
+    grouped sum, all deterministic (rounded distances, id tie-breaks).
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    lists = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1, out_id="neighbor_id")
+    probes = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, out_id="query_id"
+    )
+    cands = lists.select("neighbor_id", "cid").join(
+        F.broadcast(probes.select("query_id", "cid")), "cid"
+    ).select("query_id", "neighbor_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    sub = dim // m
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+
+    def sliced(df: DataFrame, out_id: str) -> DataFrame:
+        slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
+        return df.select(
+            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
+        )
+
+    c = sliced(centroids, "cid").withColumnRenamed("subvec", "csub")
+    v = sliced(corpus, "neighbor_id")
+    w_code = Window.partitionBy("neighbor_id", "j").orderBy(F.asc("dist"), F.asc("cid"))
+    codes = (
+        v.join(F.broadcast(c), "j")
+        .select(
+            "neighbor_id", "j", "cid",
+            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "j", "cid")
+    )
+    q = sliced(queries, "query_id")
+    d = round_det(l2(F.col("subvec"), F.col("csub")), 6)
+    qtab = q.join(F.broadcast(c), "j").select(
+        "query_id", "j", "cid", (d * d).alias("d2")
+    )
+    scored = (
+        cands.join(codes, "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "j", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            round_det(
+                F.sum(F.col("d2").cast("decimal(25,10)")).cast("double"), 6
+            ).alias("adc_dist2")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -381,3 +381,86 @@ def q94_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_DIM,
         k=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# q98 — the composed production index: IVF pruning + PQ-ADC scoring
+# (FAISS-IVFPQ shape). Oracle replays coarse assignment, probes, codes,
+# distance tables, and the exact-decimal candidate sum.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q98_ivf_pq_topk",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+      FROM embeddings WHERE vec_id < 16
+    ), v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT v.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY (FLOOR(list_distance(v.ve, cent.ce) * 1000000.0 + 0.5)
+                           / 1000000.0), cent.cid
+               ) AS rn
+        FROM v, cent)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT v.vec_id, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY (FLOOR(list_distance(v.ve, cent.ce) * 1000000.0 + 0.5)
+                           / 1000000.0), cent.cid
+               ) AS rn
+        FROM v, cent WHERE v.vec_id < 10)
+      WHERE rn <= 4
+    ), cands AS (
+      SELECT p.query_id, l.neighbor_id
+      FROM probes p JOIN lists l USING (cid)
+      WHERE l.neighbor_id != p.query_id
+    ), code_scored AS (
+      SELECT v.vec_id AS neighbor_id, t.j, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id, t.j
+               ORDER BY (FLOOR(list_distance(v.ve[t.j*8+1 : t.j*8+8],
+                                             c.ce[t.j*8+1 : t.j*8+8])
+                               * 1000000.0 + 0.5) / 1000000.0), c.cid
+             ) AS rn
+      FROM v, cent c, generate_series(0, 7) t(j)
+    ), codes AS (
+      SELECT neighbor_id, j, cid FROM code_scored WHERE rn = 1
+    ), qtab AS (
+      SELECT q.vec_id AS query_id, t.j, c.cid,
+             POWER(FLOOR(list_distance(q.ve[t.j*8+1 : t.j*8+8],
+                                       c.ce[t.j*8+1 : t.j*8+8])
+                         * 1000000.0 + 0.5) / 1000000.0, 2) AS d2
+      FROM v q, cent c, generate_series(0, 7) t(j)
+      WHERE q.vec_id < 10
+    ), scored AS (
+      SELECT ca.query_id, ca.neighbor_id,
+             FLOOR(CAST(SUM(CAST(qt.d2 AS DECIMAL(25,10))) AS DOUBLE)
+                   * 1000000.0 + 0.5) / 1000000.0 AS adc_dist2
+      FROM cands ca
+      JOIN codes cd ON cd.neighbor_id = ca.neighbor_id
+      JOIN qtab qt ON qt.query_id = ca.query_id AND qt.j = cd.j AND qt.cid = cd.cid
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist2 ASC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_dist2, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
+def q98_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), n_centroids=16, nprobe=4, m=8, dim=_DIM, k=5
+    )

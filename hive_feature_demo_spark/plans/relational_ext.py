@@ -306,3 +306,38 @@ def q58_fan_genre_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_fans"))
         .orderBy("genre")
     )
+
+
+# ---------------------------------------------------------------------------
+# q99 — the genre index IN USE: the jazz segment resolved by semi-join
+# against fan_genre instead of arrays_overlap. Same rows as the Layer A
+# filter path, but the predicate now reaches storage (a partitioned/
+# bucketed fan_genre table prunes; an array membership test cannot).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_genre_filter_via_index",
+    oracle=f"""
+    WITH fg AS (
+      SELECT id AS fan_id, lower(unnest(genres)) AS genre
+      FROM read_parquet('{FANS_PARQUET}')
+    )
+    SELECT f.id, f.first_name, f.last_name, f.city, f.total_spent
+    FROM read_parquet('{FANS_PARQUET}') f
+    WHERE f.id IN (SELECT fan_id FROM fg WHERE genre = 'jazz')
+    ORDER BY f.id
+    """,
+    category="segment",
+)
+def q99_genre_filter_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.segment import explode_genres
+
+    fans = spark.read.parquet(FANS_PARQUET)
+    fan_genre = explode_genres(fans)
+    jazz_ids = fan_genre.filter(F.col("genre") == "jazz").select("fan_id")
+    return (
+        fans.join(jazz_ids, fans.id == jazz_ids.fan_id, "left_semi")
+        .select("id", "first_name", "last_name", "city", "total_spent")
+        .orderBy("id")
+    )
