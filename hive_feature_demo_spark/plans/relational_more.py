@@ -462,3 +462,53 @@ def q97_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — stratified deterministic sampling (sampleBy, reproducibly):
+# per-stratum rates applied via content-hash units, so the same rows are
+# kept under any partitioning/engine — how a curation pipeline downsamples
+# over-represented classes without a seed lottery.
+# ---------------------------------------------------------------------------
+
+_STRATA_RATES = {"view": 0.05, "click": 0.20, "error": 0.50, "signup": 1.0, "purchase": 1.0}
+
+
+@register(
+    "q100_stratified_sample",
+    oracle=f"""
+    WITH u AS (
+      SELECT event_type,
+             {_sql_hex4_to_int("md5(CAST(event_id AS VARCHAR))")} / 65536.0 AS unit
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM u
+    WHERE unit < CASE event_type
+                   WHEN 'view' THEN 0.05
+                   WHEN 'click' THEN 0.20
+                   WHEN 'error' THEN 0.50
+                   ELSE 1.0
+                 END
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="relational",
+)
+def q100_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    unit = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        / 65536.0
+    )
+    rate = F.when(F.col("event_type") == "view", 0.05).when(
+        F.col("event_type") == "click", 0.20
+    ).when(F.col("event_type") == "error", 0.50).otherwise(1.0)
+    return (
+        e.filter(unit < rate)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("event_type")
+    )
