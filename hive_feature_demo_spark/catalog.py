@@ -73,6 +73,28 @@ def register_hive_tables(
             f"CREATE TABLE IF NOT EXISTS {database}.{name} "
             f"USING PARQUET LOCATION '{path}'"
         )
+        # keep both registration paths schema-identical: nano-timestamp
+        # columns read as bigint (see _normalize) get a converting view on
+        # top of the raw external table, so spark.table("db.events").ts is
+        # a timestamp here exactly as in register_testdata
+        raw = spark.table(f"{database}.{name}")
+        if _needs_normalize(raw):
+            if not spark.catalog.tableExists(f"{database}.{name}_raw"):
+                spark.sql(
+                    f"ALTER TABLE {database}.{name} RENAME TO {database}.{name}_raw"
+                )
+            cols = []
+            for field in raw.schema.fields:
+                if _is_nanos_field(field):
+                    cols.append(
+                        f"timestamp_micros({field.name} div 1000) AS {field.name}"
+                    )
+                else:
+                    cols.append(field.name)
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {database}.{name} AS "
+                f"SELECT {', '.join(cols)} FROM {database}.{name}_raw"
+            )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -81,15 +103,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(df)
 
 
+def _is_nanos_field(field) -> bool:
+    md = field.metadata or {}
+    return bool(md.get("__nanos_as_long__")) or (
+        field.name == "ts" and field.dataType.simpleString() == "bigint"
+    )
+
+
+def _needs_normalize(df: DataFrame) -> bool:
+    return any(_is_nanos_field(f) for f in df.schema.fields)
+
+
 def _normalize(df: DataFrame) -> DataFrame:
     """Convert nanosecond-timestamp columns read as long (see session.py
     ``nanosAsLong``) into microsecond timestamps, matching how DuckDB and
     any µs-native engine sees the same file (floor truncation)."""
     for field in df.schema.fields:
-        md = field.metadata or {}
-        if md.get("__nanos_as_long__") or (
-            field.name == "ts" and field.dataType.simpleString() == "bigint"
-        ):
+        if _is_nanos_field(field):
             # integer div: epoch-nanos (~1.8e18) exceed double's 2^53 mantissa
             df = df.withColumn(
                 field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
@@ -107,12 +137,15 @@ def analyze_tables(
     NDV/min/max histograms are what it consumes. Run after bulk loads.
     """
     for name in TESTDATA_TABLES:
-        if not spark.catalog.tableExists(f"{database}.{name}"):
+        target = f"{database}.{name}"
+        if spark.catalog.tableExists(f"{database}.{name}_raw"):
+            target = f"{database}.{name}_raw"  # normalized tables are views
+        elif not spark.catalog.tableExists(target):
             continue
-        spark.sql(f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {target} COMPUTE STATISTICS")
         cols = (columns or {}).get(name)
         if cols:
             spark.sql(
-                f"ANALYZE TABLE {database}.{name} COMPUTE STATISTICS "
+                f"ANALYZE TABLE {target} COMPUTE STATISTICS "
                 f"FOR COLUMNS {', '.join(cols)}"
             )

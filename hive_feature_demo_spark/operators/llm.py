@@ -24,11 +24,15 @@ from pyspark.sql import functions as F
 
 
 def render_prompt(template: str, df: DataFrame) -> Column:
-    """``format_string``-render a ``{col}``-style template from row fields."""
+    """``format_string``-render a ``{col}``-style template from row fields.
+
+    Literal ``%`` in the template is escaped (java.util.Formatter would
+    otherwise read it as a conversion spec and fail at execution).
+    """
     import re
 
     cols = re.findall(r"\{(\w+)\}", template)
-    fmt = re.sub(r"\{\w+\}", "%s", template)
+    fmt = re.sub(r"\{\w+\}", "%s", template.replace("%", "%%"))
     return F.format_string(fmt, *[F.col(c) for c in cols])
 
 
@@ -57,7 +61,9 @@ def llm_generate(
         )
         out = with_prompt.mapInPandas(llm_fn, schema=out_schema)
     parsed = F.from_json(F.col("reply"), reply_schema)
-    cols = [out["*"]]
+    # reply fields REPLACE same-named input columns (instead of producing
+    # an ambiguous duplicate-name frame)
+    cols = [F.col(c) for c in out.columns if c not in fallback]
     for name, fb in fallback.items():
         cols.append(F.coalesce(parsed[name], fb).alias(name))
     # malformed JSON yields a non-null struct with all-null fields

@@ -40,21 +40,34 @@ def asof_join(
     if direction != "backward":
         raise ValueError("only direction='backward' is implemented")
     lt = F.col(left_time)
+    # the carried payload is ONE struct per right row (never null for right
+    # rows, even when individual value columns are null) so the window's
+    # last(ignorenulls) always picks the latest right ROW atomically — a
+    # per-column carry would skip a null value column and pair it with a
+    # mismatched asof_time
+    pack_type = (
+        "struct<__r_time:"
+        + right.schema[right_time].dataType.simpleString()
+        + ","
+        + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols)
+        + ">"
+    )
     l_tag = left.select(
         F.col(left_by).alias("__key"),
         lt.alias("__t"),
         F.lit(1).alias("__side"),
         "*",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
-        F.lit(None).cast(right.schema[right_time].dataType).alias("__r_time"),
+        F.lit(None).cast(pack_type).alias("__r_pack"),
     )
     r_tag = right.select(
         F.col(right_by).alias("__key"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(right_time).alias("__r_time"),
+        F.struct(
+            F.col(right_time).alias("__r_time"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__r_pack"),
     )
     w = (
         Window.partitionBy("__key")
@@ -62,17 +75,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in value_cols
-        ],
-        F.last("__r_time", ignorenulls=True).over(w).alias("__asof_time"),
+        "*", F.last("__r_pack", ignorenulls=True).over(w).alias("__asof")
     )
     return carried.filter(F.col("__side") == 1).select(
         *left.columns,
-        *[F.col(f"__asof_{c}").alias(c) for c in value_cols],
-        F.col("__asof_time").alias("asof_time"),
+        *[F.col("__asof")[c].alias(c) for c in value_cols],
+        F.col("__asof")["__r_time"].alias("asof_time"),
     )
 
 

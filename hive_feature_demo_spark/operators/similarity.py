@@ -380,6 +380,63 @@ def lsh_multitable_topk(
     )
 
 
+def _pq_sliced(
+    df: DataFrame, out_id: str, m: int, dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Explode a vector column into its ``m`` subvector slices: (id, j, subvec)."""
+    sub = dim // m
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+    slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
+    )
+
+
+def _pq_codes(v_sliced: DataFrame, c_sliced: DataFrame, out_id: str) -> DataFrame:
+    """Per-(vector, subvector) nearest sub-centroid: (out_id, j, cid).
+
+    The single source of the PQ code derivation (rounding digits,
+    tie-breaks) — every PQ entry point shares it so the indexes can never
+    drift apart.
+    """
+    w = Window.partitionBy(out_id, "j").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        v_sliced.join(F.broadcast(c_sliced), "j")
+        .select(
+            out_id,
+            "j",
+            "cid",
+            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(out_id, "j", "cid")
+    )
+
+
+def _pq_query_tables(q_sliced: DataFrame, c_sliced: DataFrame) -> DataFrame:
+    """Squared sub-distance lookup tables per query: (query_id, j, cid, d2)."""
+    d = round_det(l2(F.col("subvec"), F.col("csub")), 6)
+    return q_sliced.join(F.broadcast(c_sliced), "j").select(
+        "query_id", "j", "cid", (d * d).alias("d2")
+    )
+
+
+def _adc_rank(scored_pairs: DataFrame, k: int) -> DataFrame:
+    """Sum the d2 lookups exactly, rank ascending with id tie-breaks."""
+    agg = scored_pairs.groupBy("query_id", "neighbor_id").agg(
+        round_det(
+            F.sum(F.col("d2").cast("decimal(25,10)")).cast("double"), 6
+        ).alias("adc_dist2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -393,35 +450,14 @@ def pq_encode(
     The vector splits into ``m`` subvectors; each is quantized against the
     (broadcast) codebook's matching slice — compressing dim x 4 bytes to
     ``m`` small codes, the memory trick that lets IVF-PQ indexes hold
-    billions of vectors in RAM. Fully distributed: posexplode the slices,
-    broadcast-join the sub-codebooks, argmin per (vector, subvector) with
-    rounded distances + centroid-id tie-breaks (deterministic under any
-    partitioning). Output: ``(id, pq_code)`` with the code as a
-    zero-padded digit string (engine-portable representation).
+    billions of vectors in RAM. Output: ``(id, pq_code)`` with the code as
+    a zero-padded digit string (engine-portable representation).
     """
-    sub = dim // m
-    js = F.sequence(F.lit(0), F.lit(m - 1))
-
-    def sliced(df: DataFrame, out_id: str) -> DataFrame:
-        slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
-        return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
-        )
-
-    v = sliced(corpus, "vid")
-    c = sliced(centroids, "cid").withColumnRenamed("subvec", "csub")
-    w = Window.partitionBy("vid", "j").orderBy(F.asc("dist"), F.asc("cid"))
-    codes = (
-        v.join(F.broadcast(c), "j")
-        .select(
-            "vid",
-            "j",
-            "cid",
-            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    v = _pq_sliced(corpus, "vid", m, dim, id_col, vec_col)
+    c = _pq_sliced(centroids, "cid", m, dim, id_col, vec_col).withColumnRenamed(
+        "subvec", "csub"
     )
+    codes = _pq_codes(v, c, "vid")
     return (
         codes.groupBy(F.col("vid").alias(id_col))
         .agg(
@@ -454,54 +490,17 @@ def pq_adc_topk(
     broadcast), and candidate distance = sum of table lookups — no
     full-vector math against the corpus at query time. This is how PQ
     indexes scan billions of codes cheaply; exactness is traded for the
-    quantization error. Deterministic: rounded sub-distances, exact
-    decimal sums, id tie-breaks.
+    quantization error.
     """
-    sub = dim // m
-    js = F.sequence(F.lit(0), F.lit(m - 1))
-
-    def sliced(df: DataFrame, out_id: str) -> DataFrame:
-        slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
-        return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
-        )
-
-    c = sliced(centroids, "cid").withColumnRenamed("subvec", "csub")
-    v = sliced(corpus, "neighbor_id")
-    w_code = Window.partitionBy("neighbor_id", "j").orderBy(F.asc("dist"), F.asc("cid"))
-    codes = (
-        v.join(F.broadcast(c), "j")
-        .select(
-            "neighbor_id",
-            "j",
-            "cid",
-            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "j", "cid")
+    c = _pq_sliced(centroids, "cid", m, dim, id_col, vec_col).withColumnRenamed(
+        "subvec", "csub"
     )
-    q = sliced(queries, "query_id")
-    d = round_det(l2(F.col("subvec"), F.col("csub")), 6)
-    qtab = q.join(F.broadcast(c), "j").select(
-        "query_id", "j", "cid", (d * d).alias("d2")
+    codes = _pq_codes(_pq_sliced(corpus, "neighbor_id", m, dim, id_col, vec_col), c, "neighbor_id")
+    qtab = _pq_query_tables(_pq_sliced(queries, "query_id", m, dim, id_col, vec_col), c)
+    scored = codes.join(F.broadcast(qtab), ["j", "cid"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    scored = (
-        codes.join(F.broadcast(qtab), ["j", "cid"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            round_det(
-                F.sum(F.col("d2").cast("decimal(25,10)")).cast("double"), 6
-            ).alias("adc_dist2")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _adc_rank(scored, k)
 
 
 def ivf_pq_topk(
@@ -521,60 +520,26 @@ def ivf_pq_topk(
     (~nprobe/n_centroids of the corpus touched), then candidates are
     scored from their PQ codes via the query's broadcast distance tables —
     at no point does query-time math touch a full corpus vector. This is
-    the FAISS IVFPQ layout expressed as three broadcast joins + one
-    grouped sum, all deterministic (rounded distances, id tie-breaks).
+    the FAISS IVFPQ layout expressed as broadcast joins + one grouped sum,
+    all deterministic (rounded distances, id tie-breaks).
     """
     centroids = corpus.filter(F.col(id_col) < n_centroids)
     lists = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1, out_id="neighbor_id")
     probes = ivf_assign(
         queries, centroids, id_col, vec_col, nprobe=nprobe, out_id="query_id"
     )
-    cands = lists.select("neighbor_id", "cid").join(
-        F.broadcast(probes.select("query_id", "cid")), "cid"
-    ).select("query_id", "neighbor_id").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    cands = (
+        lists.select("neighbor_id", "cid")
+        .join(F.broadcast(probes.select("query_id", "cid")), "cid")
+        .select("query_id", "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-
-    sub = dim // m
-    js = F.sequence(F.lit(0), F.lit(m - 1))
-
-    def sliced(df: DataFrame, out_id: str) -> DataFrame:
-        slices = F.transform(js, lambda j: F.slice(F.col(vec_col), j * sub + 1, sub))
-        return df.select(
-            F.col(id_col).alias(out_id), F.posexplode(slices).alias("j", "subvec")
-        )
-
-    c = sliced(centroids, "cid").withColumnRenamed("subvec", "csub")
-    v = sliced(corpus, "neighbor_id")
-    w_code = Window.partitionBy("neighbor_id", "j").orderBy(F.asc("dist"), F.asc("cid"))
-    codes = (
-        v.join(F.broadcast(c), "j")
-        .select(
-            "neighbor_id", "j", "cid",
-            round_det(l2(F.col("subvec"), F.col("csub")), 6).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("neighbor_id", "j", "cid")
+    c = _pq_sliced(centroids, "cid", m, dim, id_col, vec_col).withColumnRenamed(
+        "subvec", "csub"
     )
-    q = sliced(queries, "query_id")
-    d = round_det(l2(F.col("subvec"), F.col("csub")), 6)
-    qtab = q.join(F.broadcast(c), "j").select(
-        "query_id", "j", "cid", (d * d).alias("d2")
+    codes = _pq_codes(_pq_sliced(corpus, "neighbor_id", m, dim, id_col, vec_col), c, "neighbor_id")
+    qtab = _pq_query_tables(_pq_sliced(queries, "query_id", m, dim, id_col, vec_col), c)
+    scored = cands.join(codes, "neighbor_id").join(
+        F.broadcast(qtab), ["query_id", "j", "cid"]
     )
-    scored = (
-        cands.join(codes, "neighbor_id")
-        .join(F.broadcast(qtab), ["query_id", "j", "cid"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            round_det(
-                F.sum(F.col("d2").cast("decimal(25,10)")).cast("double"), 6
-            ).alias("adc_dist2")
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist2"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _adc_rank(scored, k)

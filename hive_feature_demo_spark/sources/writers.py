@@ -68,9 +68,11 @@ def append_idempotent(
     """
     if not spark.catalog.tableExists(table):
         df.write.format("parquet").saveAsTable(table)
-        return df.count()
+        return spark.table(table).count()  # count what landed, not a re-scan
     existing = spark.table(table).select(*key_cols)
-    fresh = df.join(existing, on=key_cols, how="left_anti")
+    # materialize the anti-join once: count-then-write would execute the
+    # scan+join twice, and could disagree if the source gained files between
+    fresh = df.join(existing, on=key_cols, how="left_anti").localCheckpoint(eager=True)
     n = fresh.count()
     if n:
         fresh.write.mode("append").format("parquet").saveAsTable(table)

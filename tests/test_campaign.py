@@ -103,3 +103,34 @@ def test_llm_generate_mock_model_with_fallback(spark):
         (4, "model-4", False),
         (5, "fallback-5", True),
     ]
+
+
+def test_render_prompt_literal_percent(spark):
+    from pyspark.sql import functions as F
+
+    from hive_feature_demo_spark.operators.llm import llm_generate
+
+    df = spark.createDataFrame([("Ana",)], "name string")
+    out = llm_generate(
+        df,
+        prompt_template="Offer {name} a 20% discount",
+        reply_schema="msg string",
+        fallback={"msg": F.lit("fb")},
+    ).collect()
+    assert out[0]["prompt"] == "Offer Ana a 20% discount"
+
+
+def test_llm_generate_replaces_colliding_column(spark):
+    from pyspark.sql import functions as F
+
+    from hive_feature_demo_spark.operators.llm import llm_generate
+
+    df = spark.createDataFrame([(1, "orig")], "doc_id long, lang string")
+    out = llm_generate(
+        df,
+        prompt_template="Classify {doc_id}",
+        reply_schema="lang string",
+        fallback={"lang": F.lit("fallback-lang")},
+    )
+    assert out.columns.count("lang") == 1  # replaced, not duplicated
+    assert out.collect()[0]["lang"] == "fallback-lang"

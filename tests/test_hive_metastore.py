@@ -41,6 +41,14 @@ desc = spark.sql("DESCRIBE TABLE EXTENDED star.nation").collect()
 stats_row = [r for r in desc if r["col_name"] == "Statistics"]
 assert stats_row and "rows" in stats_row[0]["data_type"], desc
 
+# nano-timestamp table: both registration paths expose ts as TIMESTAMP
+ts_type = dict(spark.table("star.events").dtypes)["ts"]
+assert ts_type == "timestamp", ts_type
+n_win = spark.sql(
+    "SELECT COUNT(*) AS n FROM (SELECT window(ts, '1 hour') FROM star.events)"
+).collect()[0]["n"]
+assert n_win > 0
+
 # managed-table round trip (write through the metastore, read back)
 spark.sql("DROP TABLE IF EXISTS star.campaigns_t")
 spark.createDataFrame(

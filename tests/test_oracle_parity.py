@@ -36,3 +36,22 @@ def test_all_queries_return_rows(spark, sf_dir):
         # every query must at least run; emptiness is allowed only for
         # queries whose semantics can legitimately produce zero rows
         df.limit(1).collect()
+
+
+def test_asof_join_null_value_column(spark):
+    """The latest right row wins even when its value column is NULL — and
+    (value, asof_time) always come from the SAME right row."""
+    import datetime as dt
+
+    from hive_feature_demo_spark.operators.relational_ext import asof_join
+
+    t = lambda m: dt.datetime(2024, 6, 1, 10, m)  # noqa: E731
+    left = spark.createDataFrame([(1, t(25))], "k long, lt timestamp")
+    right = spark.createDataFrame(
+        [(1, t(10), 5.0), (1, t(20), None)], "k long, rt timestamp, price double"
+    )
+    row = asof_join(
+        left, right, "lt", "rt", "k", "k", value_cols=["price"]
+    ).collect()[0]
+    assert row["price"] is None          # the t=20 row won, null and all
+    assert row["asof_time"] == t(20)     # internally consistent pair
