@@ -181,13 +181,40 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """The full scale-path near-dup pipeline: LSH candidates -> exact verify.
 
-    Exact Jaccard runs only on LSH candidate pairs — the verification join
-    is a semi join of the (quadratic) exact method onto the (near-linear)
-    candidate set.
+    Exact Jaccard is computed ONLY for LSH candidate pairs: the shingle
+    index joins onto the candidate set (cost ~ candidates x shingles),
+    never all-pairs — this is the whole point of the LSH pre-filter; a
+    corpus-wide exact pass here would re-introduce the quadratic join the
+    banding exists to avoid. Result set is identical to exact-then-filter.
     """
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, n, n_perm), id_col, bands, rows)
-    exact = jaccard_pairs(df, id_col, text_col, n, threshold)
-    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, n, n_perm), id_col, bands, rows
+    )
+    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -260,6 +287,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Cluster ids for an undirected pair graph: min-label propagation.
 
@@ -311,4 +339,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                "iterations (graph diameter too large); raise max_iters or "
+                "switch to the large-star/small-star formulation"
+            )
     return labels

@@ -237,3 +237,30 @@ def test_ml_minhashlsh_agrees_on_exact_duplicates(spark, sf_dir):
         for b in ids[i + 1 :]
     }
     assert want <= ml_pairs
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph longer than max_iters propagation rounds must raise
+    (silent partial clustering would under-dedup)."""
+    from hive_feature_demo_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+    # and with enough rounds it fully collapses
+    comp = connected_components(edges, max_iters=15)
+    assert {r["cluster"] for r in comp.collect()} == {0}
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    """HLL++ distinct count lands within its configured error of exact."""
+    from hive_feature_demo_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    exact = e.select("user_id").distinct().count()
+    approx = e.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("a")
+    ).collect()[0]["a"]
+    assert abs(approx - exact) / exact <= 0.15  # 3x the configured rsd
