@@ -187,3 +187,38 @@ def test_stats_single_row_shape(fans_df):
     df = segment_stats(fans_df, SegmentFilters(genres=("jazz",)), REF_TODAY)
     assert df.columns == ["count", "segment_id", "avg_spent", "open_rate"]
     assert df.count() == 1
+
+
+def test_api_facade_matches_reference_tool_shapes(spark, fans_df):
+    """The drop-in api module: same signatures and return shapes as the
+    reference's three tools (tools.py:37-185)."""
+    import datetime as dt
+
+    from hive_feature_demo_spark.api import (
+        generate_campaign_copy,
+        query_crm,
+        schedule_campaign,
+    )
+
+    today = dt.date(2024, 11, 1)
+    res = query_crm(
+        fans_df, genres=["Jazz"], min_months_since_purchase=3, today=today
+    )
+    assert set(res) == {"count", "segment_id", "avg_spent", "open_rate", "fans"}
+    assert res["count"] > 0 and res["segment_id"].startswith("seg_")
+    assert len(res["fans"]) <= 5 and set(res["fans"][0]) == {
+        "id", "first_name", "last_name", "city", "state", "genres",
+        "last_purchase_date", "total_spent", "email_open_rate",
+    }
+
+    copy = generate_campaign_copy(
+        spark, "jazz fans", "Summer Fest", "2025-06-21", tone="BOGUS"
+    )
+    assert copy["email"]["subject"] == "You're invited: Summer Fest"
+    assert copy["sms"]["body"] == "Summer Fest — 2025-06-21. Get your tickets now!"
+
+    sched = schedule_campaign(spark, res["segment_id"], "Summer Fest", res["count"], "2025-06-01T10:00:00")
+    assert sched["status"] == "scheduled" and sched["campaign_id"].startswith("cmp_")
+    # idempotent: same draft -> same id
+    again = schedule_campaign(spark, res["segment_id"], "Summer Fest", res["count"], "2025-06-01T10:00:00")
+    assert again["campaign_id"] == sched["campaign_id"]
