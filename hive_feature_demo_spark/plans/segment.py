@@ -301,3 +301,70 @@ def q83_fan_display_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — the FULL reference workflow as one distributed flow: segment the
+# audience -> generate copy per segment -> mint idempotent campaign
+# records (the agent's query_crm -> generate_campaign_copy ->
+# schedule_campaign chain, tools.py end to end, minus the LLM loop).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q101_campaign_pipeline",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment_name,
+             concat('seg_', substring(md5(c_mktsegment), 1, 8)) AS segment_id,
+             COUNT(*) AS audience_size
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT concat('cmp_', substring(sha256(
+             concat(segment_id, '|', 'Summer Fest 2025', '|', '2025-06-01T10:00:00')
+           ), 1, 8)) AS campaign_id,
+           segment_id,
+           'Summer Fest 2025' AS event_name,
+           audience_size,
+           '2025-06-01T10:00:00' AS send_at,
+           'scheduled' AS status,
+           'You''re invited: Summer Fest 2025' AS email_subject,
+           'Summer Fest 2025 — 2025-06-21. Get your tickets now!' AS sms_body
+    FROM seg
+    ORDER BY segment_id
+    """,
+    category="segment",
+)
+def q101_campaign_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.campaign import generate_copy, schedule_campaign
+
+    segments = _segment_requests(spark, sf_dir)
+    with_copy = generate_copy(
+        segments.select(
+            "segment_name",
+            "segment_id",
+            "audience_size",
+            F.concat(F.lit("fans of the "), F.col("segment_name"), F.lit(" segment")).alias(
+                "audience_description"
+            ),
+            F.lit("Summer Fest 2025").alias("event_name"),
+            F.lit("2025-06-21").alias("event_date"),
+            F.lit("enthusiastic").alias("tone"),
+        )
+    )
+    drafts = with_copy.select(
+        "segment_id",
+        "event_name",
+        F.col("audience_size").cast("long").alias("audience_size"),
+        F.lit("2025-06-01T10:00:00").alias("send_at"),
+        F.col("email.subject").alias("email_subject"),
+        F.col("sms.body").alias("sms_body"),
+    )
+    return (
+        schedule_campaign(drafts.drop("email_subject", "sms_body"))
+        .join(
+            F.broadcast(drafts.select("segment_id", "email_subject", "sms_body")),
+            "segment_id",
+        )
+        .orderBy("segment_id")
+    )
