@@ -321,3 +321,45 @@ def q92_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.withColumn("passed", F.col("violations") == 0).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q102 — salted join equivalence: the skew-mitigation operator produces
+# row-identical results to the plain join (oracle = plain SQL join), here
+# aggregated per customer segment after attaching purchase events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q102_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    category="stats",
+)
+def q102_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.skew import salted_join
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"), "value")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        salted_join(e, c, ["c_custkey"], n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

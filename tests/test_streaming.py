@@ -224,3 +224,36 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     ops.run_foreach_batch_parquet(stream2, out, ledger)
     again = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert again == [1, 2, 3]
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """A restarted query resumes from its checkpoint: batches processed
+    before the stop are not re-emitted, new batches are — exactly-once
+    output without any application-level ledger."""
+    import shutil
+
+    root = str(tmp_path / "in")
+    os.makedirs(root, exist_ok=True)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = ops.events_stream(spark, os.path.join(root, "b*"), max_files_per_trigger=1)
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    _write_batch(spark, root, 0, [(1, _ns(0), 1, "view", 1.0, "{}"), (2, _ns(1), 1, "view", 2.0, "{}")])
+    run_once()
+    first = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+
+    _write_batch(spark, root, 1, [(3, _ns(2), 2, "view", 3.0, "{}")])
+    run_once()  # restart from checkpoint: only the new batch lands
+    second = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert second == [1, 2, 3]
