@@ -62,3 +62,23 @@ def test_exact_sum_fixed_is_lossless_for_2dp(spark, values):
     # and order-independence: reversed input sums identically
     df2 = spark.createDataFrame([(v,) for v in reversed(values)], "v double")
     assert df2.agg(exact_sum_fixed("v", 2, "s")).collect()[0]["s"] == got
+
+
+def test_results_independent_of_shuffle_partitions(spark, sf_dir):
+    """The determinism conventions exist so results never depend on
+    partitioning; prove it by re-running representative queries (money
+    aggs, float ranking, python-path scoring) under a different shuffle
+    parallelism."""
+    from hive_feature_demo_spark.plans.registry import REGISTRY
+
+    names = ["q01_pricing_summary", "q36_cosine_topk", "q64_tfidf_top_terms",
+             "q88_qty_price_correlation"]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {n: [tuple(r) for r in REGISTRY[n].fn(spark, sf_dir).collect()] for n in names}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for n in names:
+            got = [tuple(r) for r in REGISTRY[n].fn(spark, sf_dir).collect()]
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
