@@ -512,3 +512,84 @@ def q100_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q103 — latest record per key (the SCD read-side / snapshot dedup op):
+# row_number over (key, ts desc) with event_id tie-break.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q103_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    category="relational",
+)
+def q103_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — percent-of-total: each segment's share of global revenue via an
+# unpartitioned window over the (tiny) aggregated frame — the window runs
+# on a handful of rows, never on the fact table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q104_segment_revenue_share",
+    oracle="""
+    WITH seg AS (
+      SELECT c.c_mktsegment,
+             SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           FLOOR((CAST(cents AS DOUBLE) / CAST(SUM(cents) OVER () AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+    FROM seg
+    ORDER BY c_mktsegment
+    """,
+    category="relational",
+)
+def q104_segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    seg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy()
+    share = F.floor(
+        (F.col("cents").cast("double") / F.sum("cents").over(w).cast("double"))
+        * 1000000.0
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    return seg.select(
+        "c_mktsegment",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        share.alias("revenue_share"),
+    ).orderBy("c_mktsegment")
