@@ -363,3 +363,128 @@ def q102_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — feature normalization: per-type z-scores from exact integer power
+# sums (the training-data scaling op), plus |z| > 3 outlier flags. Moments
+# come from one grouped pass; scoring is a broadcast join back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q105_zscore_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s1,
+             CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  AS DECIMAL(38,0)) * CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    ), stats AS (
+      SELECT event_type,
+             (CAST(s1 AS DOUBLE) / 100.0) / n AS mean,
+             SQRT(s2 / 10000.0 / n - ((CAST(s1 AS DOUBLE) / 100.0) / n)
+                  * ((CAST(s1 AS DOUBLE) / 100.0) / n)) AS std
+      FROM m
+    )
+    SELECT e.event_id,
+           FLOOR(((e.value - s.mean) / s.std) * 10000.0 + 0.5) / 10000.0 AS z,
+           abs((e.value - s.mean) / s.std) > 3 AS is_outlier
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    ORDER BY e.event_id
+    """,
+    category="stats",
+)
+def q105_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).cast("double").alias("s2"),
+    )
+    mean = (F.col("s1").cast("double") / 100.0) / F.col("n")
+    std = F.sqrt(F.col("s2") / 10000.0 / F.col("n") - mean * mean)
+    stats = m.select("event_type", mean.alias("mean"), std.alias("std"))
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            (F.floor(z * 10000.0 + F.lit(0.5)) / F.lit(10000.0)).alias("z"),
+            (F.abs(z) > 3).alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — per-group OLS trend: slope/intercept of value vs event-hour from
+# the same exact power-sum machinery (closed form, no UDF, one grouped
+# pass) — "is engagement rising per event type".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q106_trend_lines",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yc
+      FROM events
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(yc) AS sy,
+             SUM(x * x) AS sxx,
+             CAST(SUM(x * yc) AS DOUBLE) AS sxy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n,
+           FLOOR(((n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS slope_per_hour,
+           FLOOR(((CAST(sy AS DOUBLE) / 100.0 / n)
+                  - ((n * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0)
+                    * (CAST(sx AS DOUBLE) / n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS intercept
+    FROM m
+    ORDER BY event_type
+    """,
+    category="stats",
+)
+def q106_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    x = (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp")))
+        / F.lit(3600)
+    ).cast("long")
+    yc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    m = e.select("event_type", x.alias("x"), yc.alias("yc")).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yc")).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    slope = (
+        (F.col("n") * F.col("sxy") - sx_d * sy_d)
+        / (n_d * F.col("sxx").cast("double") - sx_d * sx_d)
+        / 100.0
+    )
+    intercept = (sy_d / 100.0 / F.col("n")) - slope * (sx_d / F.col("n"))
+    r6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    return m.select(
+        "event_type",
+        "n",
+        r6(slope).alias("slope_per_hour"),
+        r6(intercept).alias("intercept"),
+    ).orderBy("event_type")
