@@ -488,3 +488,57 @@ def q106_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(slope).alias("slope_per_hour"),
         r6(intercept).alias("intercept"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q107 — time-weighted average value per user (TWAP): each observation is
+# held until the next event; weight = holding seconds (lead - ts). One
+# window pass + exact fixed-point weighted sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q107_time_weighted_avg",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+             CAST(date_diff('second', ts,
+                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  AS BIGINT) AS hold_s
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_holds,
+           CAST(SUM(vc * hold_s) AS DOUBLE)
+             / (100.0 * CAST(SUM(hold_s) AS DOUBLE)) AS twap
+    FROM w
+    WHERE hold_s IS NOT NULL AND hold_s > 0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="stats",
+)
+def q107_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hold = (
+        F.unix_timestamp(F.lead("ts").over(win)) - F.unix_timestamp("ts")
+    ).cast("long")
+    w = e.select("user_id", vc.alias("vc"), hold.alias("hold_s")).filter(
+        F.col("hold_s").isNotNull() & (F.col("hold_s") > 0)
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_holds"),
+            (
+                F.sum(F.col("vc") * F.col("hold_s")).cast("double")
+                / (F.lit(100.0) * F.sum("hold_s").cast("double"))
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
