@@ -125,3 +125,15 @@ def sql_exact_avg_fixed(expr: str, digits: int) -> str:
         f"((CAST(SUM(CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {float(scale)}) / COUNT({expr}))"
     )
+
+
+def sql_hex_to_int(h: str, pos: str, n_digits: int) -> str:
+    """DuckDB: integer value of ``n_digits`` hex chars of ``h`` at 1-based
+    ``pos`` (md5 output is lowercase; shared by every oracle that needs to
+    replay Python's ``int(hex, 16)``)."""
+    d = "'0123456789abcdef'"
+    terms = [
+        f"(strpos({d}, substr({h}, ({pos}) + {i}, 1)) - 1) * {16 ** (n_digits - 1 - i)}"
+        for i in range(n_digits)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -623,20 +623,10 @@ def q38_asset_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.asset_digests(assets).orderBy("asset_id")
 
 
-# ---------------------------------------------------------------------------
-# q86 — transitive near-dup CLUSTERS: Jaccard pairs (q39's edge set) closed
-# under transitivity via distributed min-label propagation
-# (operators/dedup.connected_components). Pairs alone under-dedup: A~B~C
-# must collapse to one survivor even when A!~C. The oracle replays the
-# closure with a recursive CTE over the identical pair SQL.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q86_near_dup_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+#: shared recursive-closure chain (q86/q95): Jaccard pairs -> symmetric
+#: edges -> min-label transitive closure -> components. One source so
+#: both oracles check identical clustering semantics.
+_CLUSTERS_CTE = """    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
       FROM sh a JOIN sh b USING (shingle)
@@ -661,7 +651,23 @@ def q38_asset_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
     ),
-    comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)"""
+
+
+# ---------------------------------------------------------------------------
+# q86 — transitive near-dup CLUSTERS: Jaccard pairs (q39's edge set) closed
+# under transitivity via distributed min-label propagation
+# (operators/dedup.connected_components). Pairs alone under-dedup: A~B~C
+# must collapse to one survivor even when A!~C. The oracle replays the
+# closure with a recursive CTE over the identical pair SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q86_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+{_CLUSTERS_CTE}
     SELECT cluster,
            COUNT(*) AS n_members,
            MIN(node) AS survivor_id,
@@ -703,31 +709,7 @@ def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q95_dedup_kept_corpus",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
-      FROM sh a JOIN sh b USING (shingle)
-      WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM common
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION ALL SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS node FROM edges),
-    reach(node, lbl) AS (
-      SELECT node, node FROM nodes
-      UNION
-      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node),
+{_CLUSTERS_CTE},
     drops AS (
       SELECT c.node FROM comp c
       JOIN (SELECT cluster, MIN(node) AS survivor FROM comp GROUP BY cluster) s

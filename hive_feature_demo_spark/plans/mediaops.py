@@ -13,17 +13,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import sql_hex_to_int
 from hive_feature_demo_spark.operators import multimodal
 from hive_feature_demo_spark.plans.registry import register
 
 
 def _hex2int(h: str, pos: str) -> str:
     """DuckDB: value of the 2-hex-digit pair of ``h`` at 1-based ``pos``."""
-    d = "'0123456789abcdef'"
-    return (
-        f"((strpos({d}, substr({h}, {pos}, 1)) - 1) * 16"
-        f" + (strpos({d}, substr({h}, ({pos}) + 1, 1)) - 1))"
-    )
+    return sql_hex_to_int(h, pos, 2)
 
 
 _H = "md5(text)"

@@ -184,12 +184,9 @@ def q77_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_hex4_to_int(h: str) -> str:
-    d = "'0123456789abcdef'"
-    terms = [
-        f"(strpos({d}, substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
-        for i in range(4)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    from hive_feature_demo_spark.functions.numeric import sql_hex_to_int
+
+    return sql_hex_to_int(h, "1", 4)
 
 
 @register(

@@ -53,9 +53,9 @@ def _fans(spark: SparkSession) -> DataFrame:
     oracle=f"""
     SELECT COUNT(*) AS count,
            CASE WHEN COUNT(*) > 0 THEN '{_JAZZ_SEG_ID}' ELSE '' END AS segment_id,
-           COALESCE(ROUND(CAST(SUM(CAST(total_spent AS DECIMAL(25,10))) AS DOUBLE)
+           COALESCE(round_even(CAST(SUM(CAST(total_spent AS DECIMAL(25,10))) AS DOUBLE)
                           / COUNT(*), 2), 0.0) AS avg_spent,
-           COALESCE(ROUND(CAST(SUM(CAST(email_open_rate AS DECIMAL(25,10))) AS DOUBLE)
+           COALESCE(round_even(CAST(SUM(CAST(email_open_rate AS DECIMAL(25,10))) AS DOUBLE)
                           / COUNT(*), 2), 0.0) AS open_rate
     FROM read_parquet('{FANS_PARQUET}')
     WHERE len(list_filter(genres, g -> lower(g) = 'jazz')) > 0
@@ -105,7 +105,7 @@ def q17_segment_preview_fans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     )
     SELECT COUNT(*) AS count,
-           COALESCE(ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,10))) AS DOUBLE)
+           COALESCE(round_even(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,10))) AS DOUBLE)
                           / COUNT(*), 2), 0.0) AS avg_balance
     FROM customer c JOIN last_order lo ON c.c_custkey = lo.o_custkey
     WHERE lower(c.c_name) LIKE '%customer#1%'

@@ -308,19 +308,19 @@ def q92_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("date_below_min"),
     )
-    rules = [
-        ("custkey_not_null", "null_custkey"),
-        ("orderkey_unique", "dup_orderkey"),
-        ("totalprice_positive", "nonpositive_price"),
-        ("orderdate_in_range", "date_below_min"),
-    ]
-    out = None
-    for rule, colname in rules:
-        row = m.select(
-            F.lit(rule).alias("rule"), F.col(colname).alias("violations")
+    # stack(): 4 rule rows from ONE aggregate pass — a union of selects
+    # would embed (and re-execute) the full orders aggregation per branch
+    return (
+        m.selectExpr(
+            """stack(4,
+                 'custkey_not_null', null_custkey,
+                 'orderkey_unique', dup_orderkey,
+                 'totalprice_positive', nonpositive_price,
+                 'orderdate_in_range', date_below_min) AS (rule, violations)"""
         )
-        out = row if out is None else out.unionByName(row)
-    return out.withColumn("passed", F.col("violations") == 0).orderBy("rule")
+        .withColumn("passed", F.col("violations") == 0)
+        .orderBy("rule")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -109,7 +109,7 @@ _GAP_MIN = 30
       FROM events
     ), marked AS (
       SELECT *, CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL {_GAP_MIN} MINUTE
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {_GAP_MIN} * 60 * 1000000
                      THEN 1 ELSE 0 END AS is_new
       FROM seq
     ), sess AS (
@@ -141,8 +141,10 @@ def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > _GAP_MIN * 60
+                # microsecond precision: cast('long') truncates to seconds
+                # and shifts session boundaries for sub-second gaps
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > _GAP_MIN * 60 * 1_000_000
             ),
             1,
         )

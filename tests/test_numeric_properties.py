@@ -14,6 +14,7 @@ from decimal import Decimal
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings
+from pyspark.sql import functions as F
 from hypothesis import strategies as st
 
 from hive_feature_demo_spark.functions.numeric import (
@@ -82,3 +83,20 @@ def test_results_independent_of_shuffle_partitions(spark, sf_dir):
             assert got == baseline[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_money_rounding_matches_duckdb_round_even(spark):
+    """Layer A averages round HALF_EVEN (Python round semantics); the
+    oracle spelling is DuckDB round_even — verify on exact .xx5 boundaries
+    (where plain ROUND would diverge)."""
+    from hive_feature_demo_spark.functions.numeric import money
+
+    vals = [0.125, 0.135, 1000.125, 2.675, 0.005, 0.015]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["m"] for r in df.select("i", money(F.col("v").cast("decimal(25,10)")).cast("double").alias("m")).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        want = con.execute(
+            "SELECT round_even(CAST(? AS DECIMAL(25,10))::DOUBLE, 2)", [v]
+        ).fetchone()[0]
+        assert got[i] == want, (v, got[i], want)
