@@ -454,3 +454,42 @@ def q96_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q96_out_{next(_STREAM_RUN_SEQ)}"
     sops.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q108 — REAL stream-static enrichment run: the events stream joins the
+# static customer dimension (broadcast per micro-batch), aggregated per
+# segment; hash-checked against the batch join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q108_streaming_enrichment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    category="streaming",
+)
+def q108_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.catalog import table as _table
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    dim = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    enriched = sops.enrich_with_dimension(
+        events, dim, F.col("user_id") == F.col("c_custkey")
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
+    )
+    name = f"q108_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("c_mktsegment")
