@@ -347,3 +347,65 @@ def connected_components(
                 "switch to the large-star/small-star formulation"
             )
     return labels
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, with banding.
+
+    Pigeonhole: two 64-bit hashes within Hamming distance d < n_bands must
+    agree exactly on at least one of the ``n_bands`` contiguous bands —
+    candidates join on (band index, band substring), never all-pairs; the
+    exact nibble-wise Hamming check verifies candidates only. Requires
+    ``max_hamming < n_bands`` for completeness.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("completeness needs max_hamming < n_bands")
+    band_len = 16 // n_bands  # hex chars per band
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.substring(F.col(hash_col), b * band_len + 1, band_len).alias("bh"),
+            ),
+        )
+    )
+    tagged = fingerprints.select(
+        F.col(id_col), F.col(hash_col), bands.alias("b")
+    ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "bh"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "bh"
+    )
+    # nibble-wise popcount of xor, expressible identically in ANSI SQL
+    hamming = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.bit_count(
+                (
+                    F.instr(F.lit("0123456789abcdef"), F.substring("h_a", i, 1)) - 1
+                ).bitwiseXOR(
+                    F.instr(F.lit("0123456789abcdef"), F.substring("h_b", i, 1)) - 1
+                )
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -367,15 +367,9 @@ def q46_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-# ---------------------------------------------------------------------------
-# q47 — SimHash fingerprints (md5-nibble bit votes), hash-checked.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q47_simhash",
-    oracle="""
-    WITH toks AS (
+#: shared SimHash fingerprint chain (q47/q109): md5-nibble bit votes ->
+#: 16-hex-char fingerprint per doc.
+_SIMHASH_CTE = '''    toks AS (
       SELECT doc_id,
              unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
       FROM documents
@@ -398,12 +392,26 @@ def q46_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nibs2 AS (
       SELECT doc_id, j // 4 AS nib_idx, SUM(bit << (j % 4)) AS nib_val
       FROM bits GROUP BY 1, 2
-    )
-    SELECT doc_id,
-           string_agg(substring('0123456789abcdef', CAST(nib_val AS INT) + 1, 1),
-                      '' ORDER BY nib_idx) AS simhash
-    FROM nibs2
-    GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(substring('0123456789abcdef', CAST(nib_val AS INT) + 1, 1),
+                        '' ORDER BY nib_idx) AS simhash
+      FROM nibs2
+      GROUP BY doc_id
+    )'''
+
+
+# ---------------------------------------------------------------------------
+# q47 — SimHash fingerprints (md5-nibble bit votes), hash-checked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q47_simhash",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM fp
     ORDER BY doc_id
     """,
     category="llmops",
@@ -738,3 +746,44 @@ def q95_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q109 — SimHash near-pairs: banded candidates (pigeonhole: Hamming < 4
+# implies an exact match on one of 4 bands) + exact nibble-Hamming verify.
+# Completes the SimHash dedup story (q47 computes the fingerprints).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q109_simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, t.b AS band, substring(simhash, t.b * 4 + 1, 4) AS bh
+      FROM fp, generate_series(0, 3) t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS h_a, b.simhash AS h_b
+      FROM banded a JOIN banded b USING (band, bh)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, h_a, h_b,
+           CAST(list_sum(list_transform(generate_series(1, 16),
+             i -> bit_count(xor(
+               CAST(strpos('0123456789abcdef', substring(h_a, i, 1)) - 1 AS BIGINT),
+               CAST(strpos('0123456789abcdef', substring(h_b, i, 1)) - 1 AS BIGINT)))))
+             AS BIGINT) AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(generate_series(1, 16),
+             i -> bit_count(xor(
+               CAST(strpos('0123456789abcdef', substring(h_a, i, 1)) - 1 AS BIGINT),
+               CAST(strpos('0123456789abcdef', substring(h_b, i, 1)) - 1 AS BIGINT))))) <= 3
+    ORDER BY id_a, id_b
+    """,
+    category="llmops",
+)
+def q109_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = dedup.simhash64(docs, "doc_id", "text")
+    return dedup.simhash_near_pairs(fp, "doc_id", "simhash", max_hamming=3, n_bands=4)
