@@ -590,3 +590,81 @@ def q104_segment_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
         share.alias("revenue_share"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q110 — date-spine gap filling: every calendar day in the observed range
+# appears, zero-filled when no events landed (the reporting-table op;
+# naive groupBy silently drops empty days). Spine = sequence/explode of
+# the min..max range — never a driver-side loop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q110_daily_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+    category="relational",
+)
+def q110_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select("day", F.coalesce("n", F.lit(0)).alias("n_events"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q111 — cumulative distinct users by day: running COUNT(DISTINCT) is not
+# window-expressible at scale; the first-seen-day trick converts it to a
+# cumulative sum of arrivals (one groupBy + one tiny window).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q111_cumulative_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+    ), arrivals AS (
+      SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM arrivals
+    ORDER BY day
+    """,
+    category="relational",
+)
+def q111_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("day"))
+    arrivals = first_seen.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        arrivals.withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
+        .orderBy("day")
+    )
