@@ -668,3 +668,40 @@ def q111_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         arrivals.withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — top-k WITH ties (RANK <= k): unlike the row_number top-k
+# elsewhere, equal account balances at the cut all survive — the
+# tie-inclusive ranking semantic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q112_topk_with_ties",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal, rnk FROM (
+      SELECT s_nationkey, s_suppkey,
+             FLOOR(s_acctbal * 100 + 0.5) / 100.0 AS s_acctbal,
+             CAST(RANK() OVER (PARTITION BY s_nationkey
+                  ORDER BY FLOOR(s_acctbal * 100 + 0.5) DESC) AS BIGINT) AS rnk
+      FROM supplier)
+    WHERE rnk <= 3
+    ORDER BY s_nationkey, rnk, s_suppkey
+    """,
+    category="relational",
+)
+def q112_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc(cents))
+    return (
+        s.select(
+            "s_nationkey",
+            "s_suppkey",
+            (cents / F.lit(100.0)).alias("s_acctbal"),
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("s_nationkey", "rnk", "s_suppkey")
+    )
