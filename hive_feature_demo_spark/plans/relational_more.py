@@ -705,3 +705,99 @@ def q112_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("s_nationkey", "rnk", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — importance sampling for curation: keep probability proportional
+# to document length (the quality-weighted variant of q78/q100's uniform /
+# stratified sampling) — still hash-deterministic, same rows under any
+# partitioning or engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q113_importance_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+             {h4} / 65536.0 AS unit,
+             LEAST(1.0, n_chars / 2000.0) AS keep_p
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM scored
+    WHERE unit < keep_p
+    ORDER BY doc_id
+    """.format(h4=_sql_hex4_to_int("md5(CAST(doc_id AS VARCHAR))")),
+    category="relational",
+)
+def q113_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    unit = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        / 65536.0
+    )
+    keep_p = F.least(F.lit(1.0), F.col("n_chars") / 2000.0)
+    return (
+        docs.filter(unit < keep_p)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — referential-integrity audit: orphaned facts (lineitems without an
+# order, events from unknown customers) via anti-joins — the cross-table
+# complement of q92's single-table constraint report.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q114_referential_integrity",
+    oracle="""
+    SELECT 'lineitem_without_order' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'order_without_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'event_user_not_customer',
+           (SELECT COUNT(*) FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id))
+    ORDER BY check_name
+    """,
+    category="relational",
+)
+def q114_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    e = table(spark, sf_dir, "events").select("user_id")
+    checks = [
+        (
+            "lineitem_without_order",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        (
+            "order_without_customer",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+        ),
+        (
+            "event_user_not_customer",
+            e.join(c, e.user_id == c.c_custkey, "left_anti"),
+        ),
+    ]
+    out = None
+    for name, orphans in checks:
+        row = orphans.agg(F.count("*").alias("n_orphans")).select(
+            F.lit(name).alias("check_name"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("check_name")
