@@ -801,3 +801,48 @@ def q114_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# q115 — multi-aggregate pivot: per order-year, each status contributes
+# BOTH a count and a value sum (q15 pivots a single aggregate; real
+# report matrices carry several measures per cell).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q115_multi_agg_pivot",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'F') AS DOUBLE) / 100.0 AS f_value,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'O') AS DOUBLE) / 100.0 AS o_value,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS p_n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (o_orderstatus = 'P') AS DOUBLE) / 100.0 AS p_value
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="relational",
+)
+def q115_multi_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    cols = []
+    for st in ["F", "O", "P"]:
+        is_st = F.col("o_orderstatus") == st
+        cols.append(F.count(F.when(is_st, 1)).alias(f"{st.lower()}_n"))
+        cols.append(
+            (F.sum(F.when(is_st, cents)).cast("double") / F.lit(100.0)).alias(
+                f"{st.lower()}_value"
+            )
+        )
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(*cols)
+        .orderBy("order_year")
+    )
