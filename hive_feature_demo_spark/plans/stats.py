@@ -542,3 +542,46 @@ def q107_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — equi-DEPTH histogram (deciles): ntile over a total order gives
+# equal-population bins with their value boundaries — the profile view
+# equal-width bins (q87) can't give for skewed distributions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q116_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             CAST(NTILE(10) OVER (ORDER BY value, event_id) AS BIGINT) AS decile
+      FROM events
+    )
+    SELECT decile,
+           COUNT(*) AS n,
+           FLOOR(MIN(value) * 100 + 0.5) / 100.0 AS lo,
+           FLOOR(MAX(value) * 100 + 0.5) / 100.0 AS hi
+    FROM ranked
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    category="stats",
+)
+def q116_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.orderBy("value", "event_id")
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    return (
+        e.select("value", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.min("value")).alias("lo"),
+            r2(F.max("value")).alias("hi"),
+        )
+        .orderBy("decile")
+    )
