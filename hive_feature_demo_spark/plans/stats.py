@@ -547,7 +547,10 @@ def q107_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q116 — equi-DEPTH histogram (deciles): ntile over a total order gives
 # equal-population bins with their value boundaries — the profile view
-# equal-width bins (q87) can't give for skewed distributions.
+# equal-width bins (q87) can't give for skewed distributions. The global
+# ntile is a single-partition sort: exact, fine to ~10^8 rows; at 100 TB
+# the same report comes from approx_percentile boundaries (q53/q54's
+# sketch path) + one broadcast bucketing pass — no total order needed.
 # ---------------------------------------------------------------------------
 
 
