@@ -588,3 +588,90 @@ def q116_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — session conversion: q42's gaps-and-islands sessions, each flagged
+# by whether it contains a purchase; conversion = converted sessions /
+# sessions per user-day cohort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q117_session_conversion",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             CAST(min(ts) AS DATE) AS session_day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT session_day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           FLOOR((CAST(SUM(converted) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+             / 10000.0 AS conversion_rate
+    FROM per_session
+    GROUP BY session_day
+    ORDER BY session_day
+    """,
+    category="stats",
+)
+def q117_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    per_session = (
+        marked.withColumn("session_seq", F.sum("is_new").over(run).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.col("ts")).cast("date").alias("session_day"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    rate = F.floor(
+        (F.sum("converted").cast("double") / F.count("*")) * 10000.0 + F.lit(0.5)
+    ) / F.lit(10000.0)
+    return (
+        per_session.groupBy("session_day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            rate.alias("conversion_rate"),
+        )
+        .orderBy("session_day")
+    )
