@@ -34,6 +34,46 @@ TESTDATA_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Confs every query depends on for correctness/determinism, all of which are
+# runtime-settable. ``get_spark()`` (session.py) sets these at build time, but
+# any externally-built SparkSession (e.g. a test harness constructing a vanilla
+# ``SparkSession.builder.getOrCreate()``) must get them too, so the catalog —
+# the single choke point every table read goes through — applies them at read
+# time. Without ``nanosAsLong`` the events table (TIMESTAMP(NANOS) parquet)
+# fails to read at all; without UTC the timestamp formatting drifts vs a
+# µs-native engine reading the same file.
+_RUNTIME_CONFS = {
+    # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's reader
+    # rejects unless told to surface it as long (converted in _normalize)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession able to run the catalog's queries.
+
+    Idempotent and cheap; results must not depend on which process built the
+    session. Also right-sizes ``shuffle.partitions`` when it is still at
+    Spark's out-of-the-box 200 (local-mode tests want ~#cores; at 100 TB a
+    real deployment sets this — or relies on AQE coalescing — explicitly).
+    """
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf unsupported in this build
+            pass
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    except Exception:  # pragma: no cover
+        pass
+
 
 def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; return name -> DataFrame.
@@ -42,6 +82,7 @@ def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict
     free; no caching here (at 100 TB you cannot cache the fact tables, and
     at test scale Spark's parquet reader is already fast).
     """
+    ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -64,6 +105,7 @@ def register_hive_tables(
     date/tenant dirs gives metastore-driven partition pruning. Requires a
     session built with ``get_spark(hive=True)``.
     """
+    ensure_session_confs(spark)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -99,6 +141,7 @@ def register_hive_tables(
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table directly (no view registration needed)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize(df)
 

@@ -107,6 +107,71 @@ def near_dup_pairs(
     )
 
 
+def rp_banded_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Scale-path embedding near-dup: banded LSH candidates -> exact verify.
+
+    Mirrors the text-dedup MinHash shape (``dedup.minhash_near_duplicates``):
+    each vector gets a ``bands*rows_per_band``-bit random-projection
+    signature computed ONCE (narrow map, no shuffle of the corpus); band
+    ``b`` buckets on bit-slice ``[b*r, (b+1)*r)``; candidate pairs come
+    from the (band, band_sig) bucket self-join — bucket sizes, never the
+    n^2 pair matrix, bound the cost — and exact cosine runs ONLY on
+    candidates. Approximate by construction: a pair whose signatures agree
+    in no band is never scored (recall rises with ``bands``, precision of
+    the candidate set with ``rows_per_band``). At 100 TB tune both up and
+    salt any hot bucket; the exact self-join (:func:`near_dup_pairs`) is
+    the small-scale verifier for this operator, not the production path.
+    """
+    planes = hyperplanes(dim, bands * rows_per_band, seed)
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        rp_signature(F.col(vec_col), planes).alias("sig"),
+    ).localCheckpoint(eager=True)  # signature feeds every band + the verify join
+    band_rows = [
+        tagged.select(
+            "vid",
+            F.lit(b).alias("band"),
+            F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select(F.col("vid").alias("id_a"), "band", "bsig")
+    b = buckets.select(F.col("vid").alias("id_b"), "band", "bsig")
+    cands = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = tagged.select(F.col("vid").alias("id_a"), F.col("vec").alias("va"))
+    vb = tagged.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_det(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -89,19 +89,55 @@ def q61_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q62 — exact embedding-cosine near-duplicate pairs (dedup baseline).
+# q62 — embedding-cosine near-duplicate pairs, SCALE PATH: banded
+# random-projection candidates (bucket join on (band, band_sig)) -> exact
+# cosine verify on candidates only, mirroring the text-dedup MinHash shape.
+# The unbounded O(n^2) theta self-join (similarity.near_dup_pairs) remains
+# available as the small-scale verifier (registered as q118, NOT the
+# default path). The oracle replays the identical planes/banding, so even
+# the LSH internals are hash-checked.
 # ---------------------------------------------------------------------------
+
+_ND_BANDS = 8
+_ND_ROWS = 4
+_ND_PLANES = similarity.hyperplanes(_DIM, _ND_BANDS * _ND_ROWS, seed=42)
+
+
+def _sql_nd_signature(vec_expr: str) -> str:
+    bits = [
+        f"CASE WHEN list_dot_product({vec_expr}, {_sql_array(p)}) >= 0"
+        " THEN '1' ELSE '0' END"
+        for p in _ND_PLANES
+    ]
+    return "concat(" + ", ".join(bits) + ")"
+
+
+_ND_BUCKETS_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT vec_id, {b} AS band,"
+    f" substring(sig, {b * _ND_ROWS + 1}, {_ND_ROWS}) AS bsig FROM tagged"
+    for b in range(_ND_BANDS)
+)
 
 
 @register(
     "q62_embedding_near_dup",
     oracle=f"""
-    WITH v AS (
-      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    WITH tagged AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_sql_nd_signature("embedding::DOUBLE[]")} AS sig
+      FROM embeddings
+    ), buckets AS (
+{_ND_BUCKETS_SQL}
+    ), cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bsig = b.bsig
+      WHERE a.vec_id < b.vec_id
     ), pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      SELECT c.id_a, c.id_b,
              {sql_round_det(_COS.format(a="a.e", b="b.e"), 4)} AS cos_sim
-      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      FROM cands c
+      JOIN tagged a ON a.vec_id = c.id_a
+      JOIN tagged b ON b.vec_id = c.id_b
     )
     SELECT id_a, id_b, cos_sim
     FROM pairs WHERE cos_sim >= 0.4
@@ -111,7 +147,9 @@ def q61_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q62_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.near_dup_pairs(emb, threshold=0.4)
+    return similarity.rp_banded_near_dup_pairs(
+        emb, dim=_DIM, bands=_ND_BANDS, rows_per_band=_ND_ROWS, seed=42, threshold=0.4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -464,3 +502,33 @@ def q98_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_pq_topk(
         emb, emb.filter(F.col("vec_id") < 10), n_centroids=16, nprobe=4, m=8, dim=_DIM, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# q118 — exact embedding-cosine near-dup pairs: the O(n^2) small-scale
+# VERIFIER for q62's banded path (q62's result is a subset of this by
+# construction). Kept registered so the exact semantics stay driver-checked,
+# but it is not the recommended dedup path at scale — the theta self-join
+# is the cost the q62 banding exists to avoid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q118_embedding_near_dup_exact",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {sql_round_det(_COS.format(a="a.e", b="b.e"), 4)} AS cos_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM pairs WHERE cos_sim >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    category="ann",
+)
+def q118_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.near_dup_pairs(emb, threshold=0.4)

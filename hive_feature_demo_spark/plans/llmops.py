@@ -631,14 +631,34 @@ def q38_asset_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.asset_digests(assets).orderBy("asset_id")
 
 
-#: shared recursive-closure chain (q86/q95): Jaccard pairs -> symmetric
-#: edges -> min-label transitive closure -> components. One source so
-#: both oracles check identical clustering semantics.
-_CLUSTERS_CTE = """    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
-      FROM sh a JOIN sh b USING (shingle)
+# ---------------------------------------------------------------------------
+# q86 — transitive near-dup CLUSTERS: the SCALE-PATH pair set (banded MinHash
+# candidates -> exact Jaccard verify, q46's edge set) closed under
+# transitivity via distributed min-label propagation
+# (operators/dedup.connected_components). Pairs alone under-dedup: A~B~C
+# must collapse to one survivor even when A!~C. Candidates come from the
+# (band, band_digest) bucket join — never the corpus-wide shingle self-join,
+# whose hot-shingle Σc² cost is exactly what banding avoids at 100 TB. The
+# oracle replays banding + verify + recursive closure with identical hashes.
+# ---------------------------------------------------------------------------
+
+#: shared recursive-closure chain over the LSH-verified pair set (q86/q95):
+#: banded buckets -> candidate pairs -> exact-Jaccard verify on candidates
+#: only -> symmetric edges -> min-label transitive closure -> components.
+_LSH_CLUSTERS_CTE = f"""    buckets AS (
+{_BUCKETS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b ON a.band = b.band AND a.bd = b.bd
       WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS nc
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -662,20 +682,11 @@ _CLUSTERS_CTE = """    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 
     comp AS (SELECT node, MIN(lbl) AS cluster FROM reach GROUP BY node)"""
 
 
-# ---------------------------------------------------------------------------
-# q86 — transitive near-dup CLUSTERS: Jaccard pairs (q39's edge set) closed
-# under transitivity via distributed min-label propagation
-# (operators/dedup.connected_components). Pairs alone under-dedup: A~B~C
-# must collapse to one survivor even when A!~C. The oracle replays the
-# closure with a recursive CTE over the identical pair SQL.
-# ---------------------------------------------------------------------------
-
-
 @register(
     "q86_near_dup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
-{_CLUSTERS_CTE}
+    WITH RECURSIVE {_SIG_CTE},
+{_LSH_CLUSTERS_CTE}
     SELECT cluster,
            COUNT(*) AS n_members,
            MIN(node) AS survivor_id,
@@ -688,7 +699,9 @@ _CLUSTERS_CTE = """    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY 
 )
 def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    )
     comp = dedup.connected_components(pairs)
     return (
         comp.groupBy("cluster")
@@ -716,8 +729,8 @@ def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q95_dedup_kept_corpus",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
-{_CLUSTERS_CTE},
+    WITH RECURSIVE {_SIG_CTE},
+{_LSH_CLUSTERS_CTE},
     drops AS (
       SELECT c.node FROM comp c
       JOIN (SELECT cluster, MIN(node) AS survivor FROM comp GROUP BY cluster) s
@@ -733,7 +746,9 @@ def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q95_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    )
     comp = dedup.connected_components(pairs)
     survivors = comp.groupBy("cluster").agg(F.min("node").alias("survivor"))
     drops = (

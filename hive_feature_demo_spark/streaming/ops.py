@@ -39,6 +39,9 @@ def events_stream(
     In production this is a Kafka source; the file source exercises the
     identical incremental semantics (micro-batches, watermark advance).
     """
+    from ..catalog import ensure_session_confs
+
+    ensure_session_confs(spark)  # nanosAsLong etc. for externally-built sessions
     reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

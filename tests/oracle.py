@@ -68,10 +68,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     if sc != dc:
         diffs = [i for i, (a, b) in enumerate(zip(sc, dc)) if a != b]
         sample = [(sc[i], dc[i]) for i in diffs[:3]]
-        extra_s = [r for r in sc if r not in set(dc)][:3]
-        extra_d = [r for r in dc if r not in set(sc)][:3]
+        dc_set, sc_set = set(dc), set(sc)
+        extra_s = [r for r in sc if r not in dc_set][:3]
+        extra_d = [r for r in dc if r not in sc_set][:3]
+        trailing = abs(len(sc) - len(dc))
         problems.append(
-            f"values differ at {len(diffs)} aligned rows; sample={sample}; "
-            f"spark-only={extra_s}; duckdb-only={extra_d}"
+            f"values differ at {len(diffs)} aligned rows"
+            + (f" (+{trailing} unaligned trailing rows)" if trailing else "")
+            + f"; sample={sample}; spark-only={extra_s}; duckdb-only={extra_d}"
         )
     return problems
