@@ -43,7 +43,13 @@ def money(col: Column | str) -> Column:
 
     The reference uses Python ``round`` (banker's rounding) for its
     aggregates (``backend/tools.py:75-76``); Spark's ``F.round`` is HALF_UP
-    and would mismatch, ``F.bround`` matches.
+    and would mismatch, ``F.bround`` is the closest match. Boundary caveat:
+    parity is approximate, not exact — the reference rounds a *binary
+    float* quotient (``round(sum/len, 2)``) while ``segment_stats`` rounds
+    an exact decimal quotient, so on .005 representation boundaries (e.g.
+    0.35/2, where the float is 0.17499999...) the two can differ by one
+    cent. Deliberate tradeoff: cross-engine/run-order determinism of the
+    decimal path over bit-parity with one engine's float artifacts.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.bround(c, 2)

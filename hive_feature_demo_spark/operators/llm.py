@@ -49,7 +49,15 @@ def llm_generate(
     body string"``); every schema field lands as a column, null-coalesced
     with its ``fallback`` expression. ``used_fallback`` marks rows whose
     reply failed to parse.
+
+    When ``llm_fn`` is omitted, the env-gated real-client adapter
+    (``operators/llm_client``, ``HFD_SPARK_LLM=anthropic``) is consulted;
+    with the env unset this stays the deterministic, oracle-checkable mode.
     """
+    if llm_fn is None:
+        from hive_feature_demo_spark.operators.llm_client import llm_fn_from_env
+
+        llm_fn = llm_fn_from_env()
     with_prompt = df.withColumn("prompt", render_prompt(prompt_template, df))
     if llm_fn is None:
         # deterministic mode: no reply; every row takes the fallback

@@ -98,10 +98,15 @@ def decode_assets(assets: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Deterministic-fake media features: the decode itself is stubbed (no
-# PIL/ffmpeg in this container), but every derived value is a pure function
-# of the content's md5, so the full mapInPandas pipeline — schema, Arrow
-# batching, explode of per-frame rows — is hash-checkable end-to-end.
+# Media features with REAL pixel arithmetic. The codec step is synthetic —
+# no PIL/ffmpeg in this container, so "decoding" a payload means tiling its
+# bytes into an RGB buffer whose header dims derive from the content digest —
+# but everything DOWNSTREAM of decode is genuine image math on the decoded
+# buffer: NumPy mean/strip-pooling/per-frame luminance and a real bilinear
+# resize. A production decoder replaces ``_decode_rgb`` with the codec call
+# and keeps every other line. All buffer statistics are exact-integer sums
+# until one final IEEE division, so the DuckDB oracle replays them
+# bit-identically from byte prefix sums over the same payload.
 # ---------------------------------------------------------------------------
 
 RESIZE_TARGET = 256
@@ -110,7 +115,8 @@ EMBED_DIM = 8
 
 MEDIA_SCHEMA = (
     "asset_id long, width int, height int, out_width int, out_height int, "
-    "n_frames int, sampled_frames array<int>, embedding array<double>"
+    "n_frames int, sampled_frames array<int>, frame_lums array<double>, "
+    "embedding array<double>, mean_px double, resized_mean double"
 )
 
 
@@ -122,37 +128,104 @@ def _floor_round(x: float, digits: int = 6) -> float:
     return math.floor(x * scale + 0.5) / scale
 
 
-def media_features_stub():
-    """``mapInPandas`` kernel: fake decode + resize + frame-sample + embed.
+def resize_bilinear(img, out_h: int, out_w: int):
+    """Pure-NumPy bilinear resize of an (h, w, c) uint8/float buffer.
 
-    A real decoder swaps ``_fake_decode`` for PIL/ffmpeg and keeps every
-    other line. Dims/frames/embedding derive from the content digest —
-    deterministic across engines, partitionings, and batch boundaries.
+    Standard align-corners=False sampling: output pixel (i, j) samples the
+    source at ((i+0.5)*h/out_h - 0.5, (j+0.5)*w/out_w - 0.5), clamped, with
+    bilinear weights — the same convention as PIL/torch. Vectorized gather
+    + lerp; no Python per-pixel loop.
+    """
+    import numpy as np
+
+    src = img.astype(np.float64)
+    h, w = src.shape[0], src.shape[1]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+    bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def media_features_kernel():
+    """``mapInPandas`` kernel: decode + resize + frame-sample + embed.
+
+    Per asset: decode the RGB frame buffer, then compute — with real
+    arithmetic on the decoded pixels —
+
+    - ``mean_px``: mean channel value of frame 0 (0-255 scale);
+    - ``embedding``: 8 horizontal-strip means of frame 0, scaled to
+      [-0.5, 0.5] (grid-pooling, the classic cheap visual descriptor);
+    - ``frame_lums``: mean luminance (mean byte / 255) of each SAMPLED
+      frame, each decoded from its own offset of the payload stream;
+    - ``resized_mean``: mean of the bilinear-resized frame 0 at the
+      aspect-preserving target size (real interpolation — fractional
+      weights, not oracle-replayable; hash-checked in pytest against a
+      per-pixel reference instead).
+
+    Deterministic across engines, partitionings, and batch boundaries:
+    integer byte sums + one final division per statistic, floor-rounded.
     """
     import hashlib
 
-    def _fake_decode(content: bytes) -> dict:
+    import numpy as np
+
+    def _decode_rgb(src, width: int, height: int, frame: int):
+        """Synthetic codec: frame ``f`` is bytes [f*w*h*3, (f+1)*w*h*3) of
+        the infinitely-tiled payload, shaped (h, w, 3)."""
+        npx3 = width * height * 3
+        start = (frame * npx3) % len(src)
+        rolled = np.concatenate([src[start:], src[:start]])
+        return np.resize(rolled, npx3).reshape(height, width, 3)
+
+    def _features(content: bytes) -> dict:
         h = hashlib.md5(content).hexdigest()
         width = 16 * (1 + int(h[0:2], 16) % 64)
         height = 16 * (1 + int(h[2:4], 16) % 64)
         m = max(width, height)
+        out_width = max(1, width * RESIZE_TARGET // m)
+        out_height = max(1, height * RESIZE_TARGET // m)
         n_frames = 1 + int(h[4:6], 16) % 120
+        src = np.frombuffer(content, dtype=np.uint8)
+        if src.size == 0:
+            src = np.zeros(1, dtype=np.uint8)
+
+        frame0 = _decode_rgb(src, width, height, 0)
+        flat = frame0.reshape(-1)
+        seg = flat.size // EMBED_DIM  # h % 16 == 0 -> exact strip split
+        sampled = list(range(0, n_frames, FRAME_STRIDE))
         return {
             "width": width,
             "height": height,
-            "out_width": max(1, width * RESIZE_TARGET // m),
-            "out_height": max(1, height * RESIZE_TARGET // m),
+            "out_width": out_width,
+            "out_height": out_height,
             "n_frames": n_frames,
-            "sampled_frames": list(range(0, n_frames, FRAME_STRIDE)),
-            "embedding": [
-                _floor_round(int(h[2 * i : 2 * i + 2], 16) / 255.0 - 0.5)
-                for i in range(EMBED_DIM)
+            "sampled_frames": sampled,
+            "frame_lums": [
+                _floor_round(
+                    _decode_rgb(src, width, height, f).mean() / 255.0
+                )
+                for f in sampled
             ],
+            "embedding": [
+                _floor_round(flat[b * seg : (b + 1) * seg].mean() / 255.0 - 0.5)
+                for b in range(EMBED_DIM)
+            ],
+            "mean_px": _floor_round(float(flat.mean())),
+            "resized_mean": _floor_round(
+                float(resize_bilinear(frame0, out_height, out_width).mean())
+            ),
         }
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(c) for c in pdf["content"]]
+            feats = [_features(c) for c in pdf["content"]]
             out = pd.DataFrame(feats)
             out.insert(0, "asset_id", pdf["asset_id"].values)
             yield out
@@ -160,8 +233,12 @@ def media_features_stub():
     return kernel
 
 
+#: backward-compatible alias (the kernel is no longer a stub past decode)
+media_features_stub = media_features_kernel
+
+
 def media_features(assets: DataFrame) -> DataFrame:
     """Decode-pipeline features over binary assets (Arrow-batched)."""
     return assets.select("asset_id", "content").mapInPandas(
-        media_features_stub(), schema=MEDIA_SCHEMA
+        media_features_kernel(), schema=MEDIA_SCHEMA
     )

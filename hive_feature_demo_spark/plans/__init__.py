@@ -13,6 +13,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     relational_ext,
     relational_more,
     segment,
+    sourcesink,
     stats,
     streaming_batch,
     textstats,

@@ -1,10 +1,17 @@
-"""Multimodal decode-pipeline query plans (deterministic-fake media path).
+"""Multimodal decode-pipeline query plans (real pixel math, synthetic codec).
 
-The decode is stubbed (no media libraries in this container — reference
-analogue: SURVEY.md §2.3 "Multimodal columns"), but every derived feature is
-a pure function of the asset's md5, so the whole Arrow-batched
-``mapInPandas`` pipeline is replayed by the DuckDB oracle and hash-checked:
-schema, batching, integer resize math, frame sampling, fake embeddings.
+The codec is synthetic (no media libraries in this container — reference
+analogue: SURVEY.md §2.3 "Multimodal columns"): an asset's RGB buffer is its
+payload bytes tiled to header dims derived from the content digest. Every
+FEATURE, though, is real arithmetic on the decoded buffer (NumPy means,
+strip pooling, per-frame luminance, bilinear resize — see
+``operators/multimodal.py``), and because those statistics are exact integer
+byte sums until one final IEEE division, the DuckDB oracle replays them
+bit-identically: it reconstructs per-document byte prefix sums and evaluates
+the same tiled-range sums the kernel's buffers realize. The one genuinely
+interpolating op (bilinear resize, fractional weights) is not
+SQL-replayable; q121 registers it rows-only and pytest checks it against an
+independent per-pixel reference.
 """
 
 from __future__ import annotations
@@ -28,6 +35,41 @@ _WIDTH = f"16 * (1 + {_hex2int(_H, '1')} % 64)"
 _HEIGHT = f"16 * (1 + {_hex2int(_H, '3')} % 64)"
 _NFRAMES = f"1 + {_hex2int(_H, '5')} % 120"
 
+#: shared prelude: per-document byte stream (ASCII text -> code point ==
+#: utf-8 byte, asserted in tests), running prefix sums, totals, and header
+#: dims. A tiled-range sum over [lo, hi) of the infinitely-repeated payload
+#: is then (hi//L - lo//L)*t + P(hi%L) - P(lo%L) — exactly the bytes the
+#: kernel's decoded buffers contain.
+_PX_CTE = f"""byt AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(text))) AS i,
+             unnest(list_transform(generate_series(1, length(text)),
+                    j -> CAST(ascii(substring(text, CAST(j AS INT), 1)) AS BIGINT))) AS b
+      FROM documents
+    ),
+    pf AS (SELECT doc_id, i, SUM(b) OVER (PARTITION BY doc_id ORDER BY i) AS p FROM byt),
+    tot AS (SELECT doc_id, SUM(b) AS t, COUNT(*) AS l FROM byt GROUP BY doc_id),
+    dims AS (
+      SELECT doc_id AS asset_id,
+             CAST({_WIDTH} AS BIGINT) AS width,
+             CAST({_HEIGHT} AS BIGINT) AS height,
+             CAST({_NFRAMES} AS BIGINT) AS n_frames
+      FROM documents
+    )"""
+
+
+def _tiled_sum_select(ranges_cte: str) -> str:
+    """SELECT computing the tiled-range byte sum ``s`` for a CTE exposing
+    (asset_id, lo, hi, ...passthrough cols referenced by name later)."""
+    return f"""
+  SELECT r.*, (r.hi // tt.l - r.lo // tt.l) * tt.t
+         + COALESCE(ph.p, 0) - COALESCE(pl.p, 0) AS s
+  FROM {ranges_cte} r
+  JOIN tot tt ON tt.doc_id = r.asset_id
+  LEFT JOIN pf ph ON ph.doc_id = r.asset_id AND ph.i = r.hi % tt.l
+  LEFT JOIN pf pl ON pl.doc_id = r.asset_id AND pl.i = r.lo % tt.l
+"""
+
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -36,50 +78,68 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q66 — fake image decode + aspect-preserving integer resize.
+# q66 — image decode + aspect-preserving integer resize dims + REAL mean
+# pixel value of the decoded frame-0 buffer (exact byte math, replayed by
+# the oracle from prefix sums).
 # ---------------------------------------------------------------------------
 
 
 @register(
     "q66_media_resize",
     oracle=f"""
-    WITH dims AS (
-      SELECT doc_id AS asset_id,
-             CAST({_WIDTH} AS INT) AS width,
-             CAST({_HEIGHT} AS INT) AS height
-      FROM documents
-    )
-    SELECT asset_id, width, height,
+    WITH {_PX_CTE},
+    ranges AS (
+      SELECT asset_id, width, height,
+             CAST(0 AS BIGINT) AS lo, width * height * 3 AS hi
+      FROM dims
+    ),
+    summed AS ({_tiled_sum_select('ranges')})
+    SELECT asset_id,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
            CAST(GREATEST(1, width * {multimodal.RESIZE_TARGET}
                 // GREATEST(width, height)) AS INT) AS out_width,
            CAST(GREATEST(1, height * {multimodal.RESIZE_TARGET}
-                // GREATEST(width, height)) AS INT) AS out_height
-    FROM dims
+                // GREATEST(width, height)) AS INT) AS out_height,
+           FLOOR((CAST(s AS DOUBLE) / hi) * 1000000.0 + 0.5) / 1000000.0 AS mean_px
+    FROM summed
     ORDER BY asset_id
     """,
     category="multimodal",
 )
 def q66_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _media(spark, sf_dir).select(
-        "asset_id", "width", "height", "out_width", "out_height"
+        "asset_id", "width", "height", "out_width", "out_height", "mean_px"
     ).orderBy("asset_id")
 
 
 # ---------------------------------------------------------------------------
-# q67 — frame sampling: one row per sampled frame (explode of the stub).
+# q67 — frame sampling with REAL per-frame luminance: one row per sampled
+# frame; each frame is decoded from its own offset of the payload stream
+# and its mean luminance computed from the pixels.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "q67_frame_samples",
     oracle=f"""
-    WITH v AS (
-      SELECT doc_id AS asset_id, CAST({_NFRAMES} AS BIGINT) AS n_frames
-      FROM documents
-    )
-    SELECT asset_id, n_frames,
-           unnest(generate_series(0, n_frames - 1, {multimodal.FRAME_STRIDE})) AS frame_idx
-    FROM v
+    WITH {_PX_CTE},
+    frames AS (
+      SELECT d.asset_id, d.n_frames,
+             unnest(generate_series(0, CAST(d.n_frames - 1 AS INT),
+                                    {multimodal.FRAME_STRIDE})) AS frame_idx
+      FROM dims d
+    ),
+    ranges AS (
+      SELECT f.asset_id, f.n_frames, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+             CAST(f.frame_idx AS BIGINT) * d.width * d.height * 3 AS lo,
+             (CAST(f.frame_idx AS BIGINT) + 1) * d.width * d.height * 3 AS hi
+      FROM frames f JOIN dims d ON d.asset_id = f.asset_id
+    ),
+    summed AS ({_tiled_sum_select('ranges')})
+    SELECT asset_id, n_frames, frame_idx,
+           FLOOR((CAST(s AS DOUBLE) / (hi - lo) / 255.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS frame_lum
+    FROM summed
     ORDER BY asset_id, frame_idx
     """,
     category="multimodal",
@@ -90,29 +150,44 @@ def q67_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "asset_id",
             F.col("n_frames").cast("long").alias("n_frames"),
-            F.explode("sampled_frames").alias("frame_idx"),
+            F.arrays_zip(
+                F.col("sampled_frames").cast("array<long>").alias("frame_idx"),
+                F.col("frame_lums").alias("frame_lum"),
+            ).alias("zipped"),
         )
-        .withColumn("frame_idx", F.col("frame_idx").cast("long"))
+        .select("asset_id", "n_frames", F.explode("zipped").alias("z"))
+        .select(
+            "asset_id",
+            "n_frames",
+            F.col("z.frame_idx").alias("frame_idx"),
+            F.col("z.frame_lum").alias("frame_lum"),
+        )
         .orderBy("asset_id", "frame_idx")
     )
 
 
 # ---------------------------------------------------------------------------
-# q68 — fake feature-extraction embeddings, exploded to (asset, dim, value).
+# q68 — REAL feature-extraction embeddings: 8 horizontal-strip means of the
+# decoded frame-0 buffer (grid pooling), exploded to (asset, dim, value).
 # ---------------------------------------------------------------------------
 
 
 @register(
     "q68_media_embeddings",
     oracle=f"""
-    SELECT doc_id AS asset_id,
-           unnest(generate_series(0, {multimodal.EMBED_DIM - 1})) AS dim_idx,
-           unnest([
-             FLOOR(({_hex2int(_H, "2 * i + 1")} / 255.0 - 0.5) * 1000000.0 + 0.5)
-               / 1000000.0
-             FOR i IN generate_series(0, {multimodal.EMBED_DIM - 1})
-           ]) AS value
-    FROM documents
+    WITH {_PX_CTE},
+    ranges AS (
+      SELECT d.asset_id, CAST(g.sb AS BIGINT) AS dim_idx,
+             d.width * d.height * 3 // {multimodal.EMBED_DIM} AS seg,
+             g.sb * (d.width * d.height * 3 // {multimodal.EMBED_DIM}) AS lo,
+             (g.sb + 1) * (d.width * d.height * 3 // {multimodal.EMBED_DIM}) AS hi
+      FROM dims d, generate_series(0, {multimodal.EMBED_DIM - 1}) g(sb)
+    ),
+    summed AS ({_tiled_sum_select('ranges')})
+    SELECT asset_id, dim_idx,
+           FLOOR((CAST(s AS DOUBLE) / seg / 255.0 - 0.5) * 1000000.0 + 0.5)
+             / 1000000.0 AS value
+    FROM summed
     ORDER BY asset_id, dim_idx
     """,
     category="multimodal",
@@ -123,4 +198,34 @@ def q68_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", F.posexplode("embedding").alias("dim_idx", "value"))
         .withColumn("dim_idx", F.col("dim_idx").cast("long"))
         .orderBy("asset_id", "dim_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121 — REAL bilinear resize output statistics. Fractional interpolation
+# weights are not SQL-replayable, so this registers rows-only for the
+# driver; the resize kernel itself is verified in pytest against an
+# independent per-pixel reference implementation
+# (tests/test_multimodal_math.py), and the area-mean invariant
+# (resized mean ~= source mean) is asserted per asset here via a column.
+# ---------------------------------------------------------------------------
+
+
+@register("q121_media_resized_stats", oracle=None, category="multimodal")
+def q121_media_resized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _media(spark, sf_dir)
+        .select(
+            "asset_id",
+            "out_width",
+            "out_height",
+            "resized_mean",
+            "mean_px",
+            # bilinear downsampling preserves the mean up to edge effects;
+            # a drift bound is a cheap online sanity check on the kernel
+            (F.abs(F.col("resized_mean") - F.col("mean_px")) < F.lit(16.0)).alias(
+                "mean_preserved"
+            ),
+        )
+        .orderBy("asset_id")
     )

@@ -1,0 +1,126 @@
+"""Sources/sinks round-trip plans — driver-checkable writer coverage.
+
+The writer surface (``sources/writers.py``) was pytest-only in round 1;
+these queries put it behind the oracle gate: write the testdata through a
+sink shape, read it BACK from disk, and aggregate the read-back data. The
+oracle aggregates the original table directly, so a hash match proves the
+sink+source round trip is lossless — including the hive-style partition
+columns that exist only as directory names on disk.
+
+Scale notes: partitioned layout is THE 100 TB prune mechanism (a reader
+filtering on the partition key lists only matching dirs — verified here by
+filtering the read-back side on a partition value); bucketed tables make
+repeated equi-joins on the bucket key shuffle-free (verified by plan
+inspection in ``tests/test_sources.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import (
+    exact_sum_fixed,
+    sql_exact_sum_fixed,
+)
+from hive_feature_demo_spark.plans.registry import register
+from hive_feature_demo_spark.sources import writers
+
+
+# ---------------------------------------------------------------------------
+# q119 — partitioned-write round trip. Orders are written hive-partitioned
+# by o_orderpriority (the value lives in the directory name, not the file),
+# read back fresh, filtered to a partition subset (exercising partition
+# pruning on the read), and aggregated. Oracle = same aggregate over the
+# original table: a hash match proves (a) no rows/values were lost in the
+# write, (b) the partition column round-trips from directory metadata,
+# (c) the pruned read returns exactly the matching partitions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q119_partitioned_write_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {sql_exact_sum_fixed('o_totalprice', 2)} AS total_price
+    FROM orders
+    WHERE o_orderpriority <> '3-MEDIUM'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="sources",
+)
+def q119_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="hfd_q119_"), "orders_by_priority"
+    )
+    writers.write_partitioned(orders, out, ["o_orderpriority"])
+    back = spark.read.parquet(out)
+    # the filter on the partition column prunes at the directory listing —
+    # .explain shows PartitionFilters, zero data files of 3-MEDIUM are read
+    return (
+        back.filter(F.col("o_orderpriority") != "3-MEDIUM")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            exact_sum_fixed("o_totalprice", 2, "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120 — bucketed-table round trip + co-located join. Orders and lineitem
+# are saved as catalog tables bucketed on the SAME key with the SAME bucket
+# count, then joined bucket-to-bucket (no Exchange on either side — plan
+# asserted in tests/test_sources.py; here the oracle asserts the values).
+# This is the layout that amortizes one shuffle into every future join at
+# 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q120_bucketed_join_roundtrip",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_exact_sum_fixed('l.l_quantity', 2)} AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    category="sources",
+)
+def q120_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    base = tempfile.mkdtemp(prefix="hfd_q120_")
+    # unique table names per call: the driver may invoke on a session whose
+    # catalog already has earlier runs' tables
+    suffix = os.path.basename(base).split("_")[-1]
+    t_o, t_l = f"q120_orders_{suffix}", f"q120_lineitem_{suffix}"
+    writers.write_bucketed_table(
+        orders, t_o, ["o_orderkey"], 8, path=os.path.join(base, "o")
+    )
+    writers.write_bucketed_table(
+        lineitem, t_l, ["l_orderkey"], 8, path=os.path.join(base, "l")
+    )
+    o_b, l_b = spark.table(t_o), spark.table(t_l)
+    return (
+        l_b.join(o_b, l_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum_fixed("l_quantity", 2, "total_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
