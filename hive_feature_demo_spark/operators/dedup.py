@@ -117,6 +117,29 @@ def _shingle_int(shingle_col):
     return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long")
 
 
+def minhash_signatures_from_index(
+    shingles: DataFrame, id_col: str, n_perm: int = 16
+) -> DataFrame:
+    """MinHash signatures from a prebuilt (id, shingle) index.
+
+    Split out so pipelines that also need the index for candidate
+    verification (``minhash_near_duplicates``) shingle the corpus ONCE —
+    at 100 TB the tokenize+shingle scan is the dominant cost and must not
+    run per consumer.
+    """
+    # reduce x mod p BEFORE multiplying: a < p < 2^31 and (x mod p) < 2^31,
+    # so a*(x mod p)+b < 2^62 stays in int64 (Spark 4 ANSI mode overflows
+    # loudly otherwise); (a*x+b) mod p == (a*(x mod p)+b) mod p.
+    sh = shingles.withColumn(
+        "x", _shingle_int(F.col("shingle")) % F.lit(MINHASH_PRIME)
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(n_perm))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, n_perm: int = 16
 ) -> DataFrame:
@@ -125,17 +148,9 @@ def minhash_signatures(
     Docs with fewer than ``n`` tokens have no shingles and drop out (they
     cannot be near-duplicates under shingle Jaccard).
     """
-    # reduce x mod p BEFORE multiplying: a < p < 2^31 and (x mod p) < 2^31,
-    # so a*(x mod p)+b < 2^62 stays in int64 (Spark 4 ANSI mode overflows
-    # loudly otherwise); (a*x+b) mod p == (a*(x mod p)+b) mod p.
-    sh = shingle_index(df, id_col, text_col, n).withColumn(
-        "x", _shingle_int(F.col("shingle")) % F.lit(MINHASH_PRIME)
+    return minhash_signatures_from_index(
+        shingle_index(df, id_col, text_col, n), id_col, n_perm
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(minhash_params(n_perm))
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -146,6 +161,10 @@ def lsh_candidate_pairs(
     Shuffles on (band, band_digest) — bucket sizes, not the full pair
     matrix, bound the cost. Returns distinct (id_a < id_b).
     """
+    # one row per doc and it feeds 2 join sides x `bands` projections —
+    # materialize instead of recomputing the upstream shingle aggregation
+    # per consumer (a full corpus re-scan per band at 100 TB)
+    signatures = signatures.localCheckpoint(eager=True)
     band_rows = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
@@ -187,10 +206,13 @@ def minhash_near_duplicates(
     corpus-wide exact pass here would re-introduce the quadratic join the
     banding exists to avoid. Result set is identical to exact-then-filter.
     """
-    cands = lsh_candidate_pairs(
-        minhash_signatures(df, id_col, text_col, n, n_perm), id_col, bands, rows
-    )
+    # ONE shingling pass feeds signatures AND the verify join (see
+    # minhash_signatures_from_index); materialized because it anchors
+    # three consumers across two stages
     sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        minhash_signatures_from_index(sh, id_col, n_perm), id_col, bands, rows
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
