@@ -368,3 +368,81 @@ def q101_campaign_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — the NL front door (A16, reference agent.py:44-77): natural-language
+# audience requests parsed into typed SegmentFilters by the deterministic
+# rule grammar (operators/nlquery.py), then executed through the SAME
+# segment_stats plan as q16. The oracle's WHERE clauses are HANDWRITTEN per
+# request — they restate what each sentence should mean, independently of
+# the parser — so a parser regression breaks the hash even though both
+# sides share the execution semantics. Parse -> expected-filters pinning
+# lives in tests/test_nlquery.py.
+# ---------------------------------------------------------------------------
+
+from hive_feature_demo_spark.operators import nlquery  # noqa: E402
+
+#: canned requests covering every grammar rule (genre/recency both ways/
+#: spend/city/multi-filter), phrased like the reference's README examples.
+NL_REQUESTS = (
+    "Find jazz fans who haven't purchased in 3 months",
+    "Rock and blues fans in Chicago who spent at least $200",
+    "Fans in Springfield who bought within the last 6 months",
+    "EDM fans who spent over $150 and haven't bought in 2 months",
+    "Fans who spent at least $500",
+)
+
+_NL_SEG_IDS = tuple(
+    seg.segment_id_for(nlquery.parse_nl_query(t), REF_TODAY) for t in NL_REQUESTS
+)
+
+_NL_AGGS = """COUNT(*) AS count,
+           CASE WHEN COUNT(*) > 0 THEN '{seg_id}' ELSE '' END AS segment_id,
+           COALESCE(round_even(CAST(SUM(CAST(total_spent AS DECIMAL(25,10))) AS DOUBLE)
+                          / COUNT(*), 2), 0.0) AS avg_spent,
+           COALESCE(round_even(CAST(SUM(CAST(email_open_rate AS DECIMAL(25,10))) AS DOUBLE)
+                          / COUNT(*), 2), 0.0) AS open_rate"""
+
+_NL_MONTHS = "datediff('day', last_purchase_date, DATE '2024-11-01') / 30.44"
+
+_NL_WHERE = (
+    f"len(list_filter(genres, g -> lower(g) = 'jazz')) > 0 AND {_NL_MONTHS} >= 3",
+    "len(list_filter(genres, g -> lower(g) IN ('blues', 'rock'))) > 0"
+    " AND lower(city) LIKE '%chicago%' AND total_spent >= 200",
+    f"lower(city) LIKE '%springfield%' AND {_NL_MONTHS} <= 6",
+    "len(list_filter(genres, g -> lower(g) = 'edm')) > 0"
+    f" AND total_spent >= 150 AND {_NL_MONTHS} >= 2",
+    "total_spent >= 500",
+)
+
+_NL_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({i + 1} AS BIGINT) AS request_id,
+           {_NL_AGGS.format(seg_id=_NL_SEG_IDS[i])}
+    FROM read_parquet('{FANS_PARQUET}')
+    WHERE {_NL_WHERE[i]}"""
+    for i in range(len(NL_REQUESTS))
+)
+
+
+@register(
+    "q122_nl_segment_queries",
+    oracle=f"""
+    SELECT * FROM (
+{_NL_ORACLE}
+    ) ORDER BY request_id
+    """,
+    category="segment",
+)
+def q122_nl_segment_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fans = _fans(spark)
+    out = None
+    for i, text in enumerate(NL_REQUESTS, start=1):
+        filters = nlquery.parse_nl_query(text)
+        stats = seg.segment_stats(fans, filters, REF_TODAY).withColumn(
+            "request_id", F.lit(i).cast("long")
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.select(
+        "request_id", "count", "segment_id", "avg_spent", "open_rate"
+    ).orderBy("request_id")
