@@ -304,6 +304,99 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def connected_components_alternating(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): the O(log n)-round scale
+    path for graphs whose DIAMETER is too large for per-hop min-label
+    propagation (:func:`connected_components` needs diameter rounds; chains
+    of near-dups at 100 TB can be long).
+
+    Each round rewires the edge set toward stars centered at component
+    minima:
+
+    - **large-star**: per node u, connect every strictly-larger neighbor to
+      min(N(u) ∪ {u});
+    - **small-star**: per node u, connect every not-larger neighbor (and u
+      itself) to that minimum.
+
+    Both steps are a groupBy(u) + window-min — embarrassingly parallel, no
+    driver data. Converged when the edge set stops changing; the final
+    graph is exactly (node -> component-min) stars. Output matches
+    :func:`connected_components` row-for-row (equivalence is
+    property-tested in tests/test_dedup_similarity.py).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    # canonical undirected form (min, max); nodes also self-edge so
+    # singletons inside the edge set survive the rewiring
+    und = (
+        sym.select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhood view centered at u (both directions + self)
+        nodes = (
+            e.select(F.col("lo").alias("u"))
+            .unionByName(e.select(F.col("hi").alias("u")))
+            .distinct()
+        )
+        nbrs = (
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+            .unionByName(e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+            # every node is in its own neighborhood (v = u), so a node whose
+            # neighbors are all smaller still emits its (u -> m) edge in the
+            # small-star step
+            .unionByName(nodes.withColumn("v", F.col("u")))
+        )
+        m = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        joined = nbrs.join(m, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u"))
+        else:
+            out = joined.filter(F.col("v") <= F.col("u"))
+        return (
+            out.select(
+                F.least("v", "m").alias("lo"), F.greatest("v", "m").alias("hi")
+            )
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+
+    for _ in range(max_iters):
+        new = _star(_star(und, large=True), large=False).localCheckpoint(eager=True)
+        # converged when the (canonical, distinct) edge sets are identical
+        if new.count() == und.count() and new.exceptAll(und).isEmpty():
+            und = new
+            break
+        und = new
+    else:
+        raise RuntimeError(
+            f"alternating CC did not converge in {max_iters} rounds"
+        )
+    # fixed point is a star forest: (hi -> lo) with lo = component min
+    centers = und.select(F.col("lo").alias("node")).distinct().withColumn(
+        "cluster", F.col("node")
+    )
+    return (
+        und.select(F.col("hi").alias("node"), F.col("lo").alias("cluster"))
+        .unionByName(centers)
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",

@@ -17,6 +17,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     stats,
     streaming_batch,
     textstats,
+    tpch_more,
     udf_surface,
 )
 from hive_feature_demo_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map

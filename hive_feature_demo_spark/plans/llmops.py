@@ -802,3 +802,49 @@ def q109_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     fp = dedup.simhash64(docs, "doc_id", "text")
     return dedup.simhash_near_pairs(fp, "doc_id", "simhash", max_hamming=3, n_bands=4)
+
+
+# ---------------------------------------------------------------------------
+# q127 — the SAME clustering as q86 computed by the large-star/small-star
+# algorithm (O(log n) rounds vs diameter rounds — the 100 TB path when dup
+# chains run long). Identical oracle as q86: both implementations must
+# hash-match the recursive-closure ground truth, which is the strongest
+# statement of their equivalence at the query level.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q127_near_dup_clusters_altstar",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE},
+{_LSH_CLUSTERS_CTE}
+    SELECT cluster,
+           COUNT(*) AS n_members,
+           MIN(node) AS survivor_id,
+           string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+    FROM comp
+    GROUP BY cluster
+    ORDER BY cluster
+    """,
+    category="llmops",
+)
+def q127_near_dup_clusters_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    )
+    comp = dedup.connected_components_alternating(pairs)
+    return (
+        comp.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("node").alias("survivor_id"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+            ).alias("members"),
+        )
+        .orderBy("cluster")
+    )

@@ -264,3 +264,41 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.05).alias("a")
     ).collect()[0]["a"]
     assert abs(approx - exact) / exact <= 0.15  # 3x the configured rsd
+
+
+def test_alternating_cc_matches_label_propagation(spark):
+    """Large-star/small-star must produce the identical (node, cluster)
+    assignment as min-label propagation on random graphs, including long
+    chains (its raison d'etre) and multi-component mixes."""
+    import random
+
+    from hive_feature_demo_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    rng = random.Random(11)
+    cases = []
+    # long chain (diameter stress), star, two blobs + bridge, random pairs
+    cases.append([(i, i + 1) for i in range(1, 40)])
+    cases.append([(1, i) for i in range(2, 12)])
+    cases.append(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (3, 10), (20, 21)]
+    )
+    for _ in range(3):
+        nodes = list(range(1, 30))
+        cases.append(
+            [tuple(sorted(rng.sample(nodes, 2))) for _ in range(25)]
+        )
+
+    for pairs in cases:
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        want = {
+            (r["node"], r["cluster"])
+            for r in connected_components(edges, max_iters=60).collect()
+        }
+        got = {
+            (r["node"], r["cluster"])
+            for r in connected_components_alternating(edges).collect()
+        }
+        assert got == want
