@@ -124,3 +124,110 @@ def q120_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — z-order layout round trip: orders written range-partitioned +
+# sorted on the Morton key of (o_custkey, o_orderkey), read back through a
+# selective 2-D range filter, and aggregated. Each output file covers a
+# compact 2-D tile, so parquet min/max row-group stats skip most files for
+# this filter shape (physical skipping asserted in tests/test_sources.py;
+# here the oracle asserts the values survive the layout round trip).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q128_zorder_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum_fixed('o_totalprice', 2)} AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_orderkey BETWEEN 1000 AND 50000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    category="sources",
+)
+def q128_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q128_"), "orders_z")
+    writers.write_zordered(orders, out, "o_custkey", "o_orderkey", n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("o_custkey").between(100, 500)
+            & F.col("o_orderkey").between(1000, 50000)
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum_fixed("o_totalprice", 2, "total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129 — SCD-1 MERGE round trip: customers saved as a catalog table, a
+# deterministic update set merged in (every custkey % 10 == 0 gets a
+# balance bump + segment rewrite; three synthetic new keys insert), the
+# table read back and aggregated. The oracle replays the merge as a CASE
+# over the source + UNION of the inserts — a hash match proves upsert
+# semantics (update-in-place, insert-new, survivors untouched).
+# ---------------------------------------------------------------------------
+
+_Q129_NEW_ROWS = ((-1, 111.11), (-2, 222.22), (-3, 333.33))
+_Q129_NEW_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT 'MERGED-NEW' AS seg, CAST({bal} AS DOUBLE) AS bal"
+    for _, bal in _Q129_NEW_ROWS
+)
+
+
+@register(
+    "q129_scd1_merge_roundtrip",
+    oracle=f"""
+    WITH merged AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN 'MERGED-UPD' ELSE c_mktsegment END AS seg,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal
+      FROM customer
+      UNION ALL
+{_Q129_NEW_SQL}
+    )
+    SELECT seg AS c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_exact_sum_fixed('bal', 2)} AS total_balance
+    FROM merged
+    GROUP BY seg
+    ORDER BY seg
+    """,
+    category="sources",
+)
+def q129_scd1_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    suffix = os.path.basename(tempfile.mkdtemp(prefix="hfd_q129_")).split("_")[-1]
+    t_name = f"q129_customer_{suffix}"
+    customer.write.mode("overwrite").format("parquet").saveAsTable(t_name)
+
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+        .withColumn("c_mktsegment", F.lit("MERGED-UPD"))
+    )
+    new_rows = spark.createDataFrame(
+        [(k, f"Customer#{k}", 0, bal, "MERGED-NEW") for k, bal in _Q129_NEW_ROWS],
+        customer.schema,
+    )
+    writers.merge_upsert(
+        spark, t_name, updates.unionByName(new_rows), key_cols=["c_custkey"]
+    )
+    return (
+        spark.table(t_name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum_fixed("c_acctbal", 2, "total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
