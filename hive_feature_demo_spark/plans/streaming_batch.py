@@ -493,3 +493,75 @@ def q108_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q108_out_{next(_STREAM_RUN_SEQ)}"
     sops.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q130 — REAL stream-stream LEFT OUTER join run: clicks that never convert
+# emit with NULL purchase columns, but only after the watermark proves no
+# purchase can still arrive (state eviction at click_ts + horizon <
+# watermark). The oracle replays both halves: the inner matches plus the
+# anti-join rows passing the final-watermark eviction predicate
+# (watermark_final = max event time - delay; trailing clicks younger than
+# that are correctly withheld by the engine AND excluded by the oracle).
+# Verified empirically: no event sits exactly on the eviction boundary at
+# any shipped SF, so < vs <= cannot flip the result set.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q130_stream_stream_outer",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user,
+             ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events
+    ), matched AS (
+      SELECT c.c_user AS user_id, c.click_id, p.purchase_id,
+             strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts,
+             strftime(p.purchase_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+             p.purchase_value
+      FROM c JOIN p ON c.c_user = p.p_user
+        AND p.purchase_ts > c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ), unconverted AS (
+      SELECT c.c_user AS user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts,
+             CAST(NULL AS VARCHAR) AS purchase_ts,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM c, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p WHERE c.c_user = p.p_user
+                AND p.purchase_ts > c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT * FROM unconverted
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    category="streaming",
+)
+def q130_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    joined = sops.click_purchase_join(
+        events, horizon="30 minutes", watermark="10 minutes", how="leftOuter"
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "purchase_value",
+    )
+    name = f"q130_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")

@@ -152,6 +152,7 @@ def click_purchase_join(
     events: DataFrame,
     horizon: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: purchases attributed to a prior click per user.
 
@@ -160,6 +161,14 @@ def click_purchase_join(
     ``click.ts + horizon`` — state stays finite at any throughput. This is
     the canonical attribution join for campaign engagement (the reference's
     domain) at stream scale.
+
+    ``how="leftOuter"`` additionally emits unconverted clicks (NULL
+    purchase columns) — but only once the watermark proves no purchase can
+    still arrive: a click row is released at state eviction, i.e. when
+    ``click_ts + horizon < watermark``. Clicks younger than that at
+    end-of-input are withheld (they could still match), which is the
+    correct incremental semantics and exactly what the q130 oracle's
+    eviction predicate replays.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -185,7 +194,7 @@ def click_purchase_join(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return clicks.join(purchases, cond, "inner").select(
+    return clicks.join(purchases, cond, how).select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",
