@@ -565,3 +565,67 @@ def q130_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q130_out_{next(_STREAM_RUN_SEQ)}"
     sops.run_to_memory(out, name, output_mode="append")
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# q131 — REAL session-window incremental run: F.session_window merges
+# events closer than the gap, session end = last event + gap, replayed
+# through the streaming engine in complete mode (no watermark needed; at
+# production scale use append + watermark so closed sessions finalize and
+# state stays bounded — q42's semantics). The oracle rebuilds sessions as
+# gaps-and-islands with the >= boundary Spark's exclusive window end
+# implies (an event exactly `gap` after its predecessor starts a NEW
+# session; verified no such tie exists at any shipped SF, so the chosen
+# strictness is still exercised-but-not-load-bearing).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_streaming_session_windows",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= {_GAP_MIN} * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL {_GAP_MIN} MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def q131_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    agg = (
+        events.groupBy(
+            F.session_window("ts", f"{_GAP_MIN} minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "session_value"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT).alias("session_start"),
+            F.date_format("sw.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"q131_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("user_id", "session_start")
