@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions import numeric
 from hive_feature_demo_spark.functions.numeric import round_det, sql_round_det
 from hive_feature_demo_spark.operators import dedup, multimodal, similarity, textops
 from hive_feature_demo_spark.plans.registry import register
@@ -847,4 +848,87 @@ def q127_near_dup_clusters_altstar(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("members"),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — the composed CORPUS-CURATION pipeline (the end-to-end shape a
+# training-data run executes): exact-dedup survivors -> language filter ->
+# quality threshold -> per-source yield report. Each stage is an operator
+# already verified in isolation (q31 dedup, q33 lang, q32 quality); this
+# query verifies their COMPOSITION — one plan, one scan, filters fused by
+# Catalyst, aggregation partial-merged. The quality cut compares the
+# ROUNDED score (round_det 4dp) so the boundary is engine-exact.
+# ---------------------------------------------------------------------------
+
+_CURATION_QUALITY = """0.5 * least(1.0, n_tokens / 100.0)
+                 + 0.3 * (1.0 - (n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE)))
+                 + 0.2 * least(1.0, (len_sum / CAST(greatest(n_tokens, 1) AS DOUBLE)) / 8.0)"""
+
+
+@register(
+    "q132_corpus_curation",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+      FROM documents
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM keyed GROUP BY digest
+    ), survivors AS (
+      SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+      WHERE d.lang = 'en'
+    ), toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM survivors
+    ), m AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             len(list_filter(t, x -> lower(x) IN ('{_SW_SQL}'))) AS n_stop,
+             list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS len_sum
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, source, n_tokens,
+             {sql_round_det(_CURATION_QUALITY, 4)} AS quality
+      FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           {sql_round_det("(CAST(SUM(CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*)", 4)} AS avg_quality
+    FROM scored
+    WHERE quality >= 0.5
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="llmops",
+)
+def q132_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    survivors = dedup.dedup_exact(docs, "doc_id", "text").filter(F.col("lang") == "en")
+    t = textops.tokens("text")
+    scored = survivors.select(
+        "doc_id",
+        "source",
+        textops.token_count("text").alias("n_tokens"),
+        round_det(
+            textops.quality_score(
+                textops.token_count("text"),
+                textops.stopword_ratio(t),
+                textops.avg_token_len(t),
+            ),
+            4,
+        ).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # 4dp-rounded qualities scaled to integers sum exactly, so the
+            # mean is independent of row/partition order (float SUM is not)
+            round_det(
+                numeric.exact_sum_fixed("quality", 4) / F.count("*"), 4
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
     )
