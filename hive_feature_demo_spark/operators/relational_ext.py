@@ -25,8 +25,10 @@ def asof_join(
     value_cols: list[str],
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_time <= left_time`` (inclusive) within the same key group.
+    """For each left row, attach the nearest right row within the key group:
+    ``direction="backward"`` (default) = latest right with
+    ``right_time <= left_time``; ``direction="forward"`` = earliest right
+    with ``right_time >= left_time``. Both bounds inclusive.
 
     Right rows must be unique per (key, time) — pre-aggregate otherwise, or
     the carried value is nondeterministic. All left columns are kept;
@@ -35,10 +37,11 @@ def asof_join(
     Plan: tag both sides, unionByName, window per key ordered by
     (time, side) with right rows sorting first on ties (inclusive
     semantics), carry ``last(value, ignorenulls=True)``, keep left rows.
-    Scales as one hash shuffle + per-partition sort.
+    Forward is the same plan with the time ordering reversed. Scales as one
+    hash shuffle + per-partition sort.
     """
-    if direction != "backward":
-        raise ValueError("only direction='backward' is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     lt = F.col(left_time)
     # the carried payload is ONE struct per right row (never null for right
     # rows, even when individual value columns are null) so the window's
@@ -69,9 +72,10 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         ).alias("__r_pack"),
     )
+    t_order = F.asc("__t") if direction == "backward" else F.desc("__t")
     w = (
         Window.partitionBy("__key")
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(

@@ -202,3 +202,34 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .orderBy(id_col, "rank")
     )
+
+
+def char_pair_counts(df, text_col: str = "text"):
+    """Frequency-weighted adjacent character pairs — the statistic BPE
+    training's first merge iteration maximizes over.
+
+    Tokens case-fold, then every occurrence (not distinct) contributes its
+    within-word adjacent char pairs; counts aggregate corpus-wide. Built as
+    a zip of two shifted char arrays (the word_shingles trick at the
+    character level) — all JVM array ops, no UDF; the only shuffle is the
+    final pair-count aggregation, pre-combined map-side. At 100 TB this is
+    a scan + one partial-agg shuffle keyed on ~|alphabet|^2 pairs.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    word = F.explode(toks).alias("word")
+    chars = F.split(F.col("word"), "")
+    m = F.greatest(F.size(chars) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(chars, 1, m), F.slice(chars, 2, m), lambda a, b: F.concat(a, b)
+    )
+    return (
+        df.select(word)
+        .filter(F.length("word") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+    )

@@ -932,3 +932,41 @@ def q132_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — BPE merge statistics: corpus-wide frequency of adjacent character
+# pairs (what byte-pair-encoding training maximizes at each merge step; a
+# full BPE run iterates this exact aggregation after each merge). Top-30
+# with full tiebreaks. Scan + one map-side-combined shuffle keyed on
+# ~|alphabet|^2 pairs — trivially 100 TB-safe.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> t <> '')) AS word
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(generate_series(1, length(word) - 1),
+                    i -> substring(word, CAST(i AS INT), 2))) AS pair
+      FROM toks WHERE length(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 30
+    """,
+    category="llmops",
+)
+def q133_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        textops.char_pair_counts(docs, "text")
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(30)
+    )

@@ -341,3 +341,56 @@ def q99_genre_filter_via_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", "first_name", "last_name", "city", "total_spent")
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — FORWARD as-of join: each event attaches the user's NEXT order on
+# or after the event (the "time-to-next-conversion" shape). Same
+# union+carry plan as q50 with the time ordering reversed; oracle =
+# DuckDB's native ASOF with the <= comparison.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q134_asof_join_forward",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS next_orderkey
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           strftime(e.ts, '{_TS_FMT_DUCK}') AS event_ts,
+           o.next_orderkey,
+           strftime(o.o_orderdate, '{_TS_FMT_DUCK}') AS next_order_ts
+    FROM events e
+    ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def q134_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.catalog import table as _table
+
+    e = _table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = (
+        _table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    joined = asof_join(
+        e,
+        o,
+        left_time="ts",
+        right_time="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["next_orderkey"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT).alias("event_ts"),
+        "next_orderkey",
+        F.date_format("asof_time", _TS_FMT).alias("next_order_ts"),
+    ).orderBy("event_id")

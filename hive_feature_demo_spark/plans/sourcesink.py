@@ -231,3 +231,39 @@ def q129_scd1_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — compaction round trip: lineitem rewritten with file count derived
+# from Catalyst's size estimate (write_compacted targets ~e.g. 8 MB files
+# here so multiple files exist even at test scale), read back and
+# aggregated. Guards the small-files pathology repair path end-to-end;
+# the oracle proves the rewrite is lossless.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q135_compaction_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           {sql_exact_sum_fixed('l_extendedprice', 2)} AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    category="sources",
+)
+def q135_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q135_"), "lineitem_compact")
+    writers.write_compacted(lineitem, out, target_file_mb=8)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum_fixed("l_extendedprice", 2, "total_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -629,3 +629,76 @@ def q131_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"q131_out_{next(_STREAM_RUN_SEQ)}"
     sops.run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# q136 — CUSTOM stateful sessionization (applyInPandasWithState +
+# EventTimeTimeout): sessions emit only when CLOSED — by the next event
+# exceeding the gap in-batch, or by the watermark passing last_event + gap
+# (state timeout). What session_window cannot express: arbitrary session
+# payloads with closed-only append semantics and guaranteed state
+# eviction. The oracle rebuilds all sessions as gaps-and-islands, then
+# keeps (a) every non-final session per user (closed in-batch by a
+# successor) and (b) final sessions whose last event + gap precedes the
+# final watermark (max ts - delay). Verified: no session end sits exactly
+# on the watermark boundary at any shipped SF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q136_stateful_sessions_timeout",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= {_GAP_MIN} * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), agg AS (
+      SELECT user_id, session_seq,
+             MIN(ts) AS s_start, MAX(ts) AS s_last,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS session_value,
+             MAX(session_seq) OVER (PARTITION BY user_id) AS last_seq
+      FROM sess
+      GROUP BY user_id, session_seq
+    ), wm AS (
+      SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events
+    )
+    SELECT user_id,
+           strftime(s_start, '{_TS_FMT_DUCK}') AS session_start,
+           strftime(s_last + INTERVAL {_GAP_MIN} MINUTE, '{_TS_FMT_DUCK}') AS session_end,
+           n_events, session_value
+    FROM agg, wm
+    WHERE session_seq < last_seq
+       OR s_last + INTERVAL {_GAP_MIN} MINUTE < wm.w
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def q136_stateful_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    sessions = sops.stateful_sessions(
+        events, gap_minutes=_GAP_MIN, watermark="30 minutes", quantize_digits=4
+    )
+    out = sessions.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT).alias("session_start"),
+        F.date_format("session_end", _TS_FMT).alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+    name = f"q136_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "session_start")

@@ -308,3 +308,101 @@ def run_foreach_batch_parquet(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+SESSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+_SESSIONS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("units", T.LongType()),
+    ]
+)
+
+
+def stateful_sessions(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    quantize_digits: int = 4,
+) -> DataFrame:
+    """Custom sessionization via ``applyInPandasWithState`` + EVENT-TIME
+    TIMEOUT: emits a session row only when the session CLOSES — either a
+    later event opens the next session (gap exceeded in-batch) or the
+    watermark passes ``last_event + gap`` and the state times out.
+
+    This is what ``F.session_window`` cannot express: arbitrary per-session
+    payloads (here a fixed-point value sum, but any custom accumulator
+    drops in) with closed-session append semantics and state that is
+    GUARANTEED evicted at watermark — the bounded-state contract at
+    100 TB stream scale. Values quantize to ``quantize_digits`` and
+    accumulate as integers, so sums are independent of batch boundaries
+    and arrival order. An event exactly ``gap`` after its predecessor
+    starts a NEW session (matching ``session_window``'s exclusive end).
+    """
+    import math
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    scale = 10**quantize_digits
+
+    def to_us(ts) -> int:
+        return int(pd.Timestamp(ts).value // 1000)
+
+    def update(key, pdfs, state):
+        def emit(start_us, last_us, n, units):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us * 1000)],
+                    "session_end": [pd.Timestamp((last_us + gap_us) * 1000)],
+                    "n_events": [n],
+                    "session_value": [units / scale],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, units = state.get
+            state.remove()
+            yield emit(start_us, last_us, n, units)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        cur = list(state.get) if state.exists else None
+        for ts, v in zip(rows["ts"], rows["value"]):
+            t_us = to_us(ts)
+            u = int(math.floor(float(v) * scale + 0.5))
+            if cur is None:
+                cur = [t_us, t_us, 1, u]
+            elif t_us - cur[1] >= gap_us:
+                yield emit(*cur)
+                cur = [t_us, t_us, 1, u]
+            else:
+                cur[1] = max(cur[1], t_us)
+                cur[2] += 1
+                cur[3] += u
+        state.update(tuple(cur))
+        # close when the watermark proves no event can extend this session
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSIONS_SCHEMA,
+            stateStructType=_SESSIONS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
