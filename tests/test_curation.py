@@ -1,0 +1,117 @@
+"""Curation-operator unit tests: split stability, masking, packing edges.
+
+The oracle-parity suite covers q137-q142 end-to-end; these tests pin the
+operator-level properties the queries rely on (hash-split stability under
+corpus growth, greedy-packing edge cases, mask formatting) that a
+round-trip hash can't isolate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"doc text number {i} with words") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_stable_under_growth(spark, docs):
+    """A row's split depends only on its own id: adding rows never moves
+    existing rows across splits (eval-set stability)."""
+    full = docs.select("doc_id", curation.assign_split("doc_id").alias("s"))
+    half = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", curation.assign_split("doc_id").alias("s")
+    )
+    merged = full.alias("f").join(half.alias("h"), "doc_id")
+    assert merged.filter(F.col("f.s") != F.col("h.s")).count() == 0
+
+
+def test_split_proportions(spark):
+    big = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    counts = dict(
+        big.select(curation.assign_split("doc_id").alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert set(counts) == {"train", "valid", "test"}
+    assert 0.77 < counts["train"] / 20_000 < 0.83
+    assert 0.07 < counts["valid"] / 20_000 < 0.13
+
+
+def test_mask_phone(spark):
+    df = spark.createDataFrame([("25-989-741-2988",), ("555-0100",)], ["p"])
+    got = [r[0] for r in df.select(curation.mask_phone("p")).collect()]
+    assert got == ["**-***-***-2988", "***-0100"]
+
+
+def test_pseudonym_stable_and_oneway(spark):
+    df = spark.createDataFrame([("Alice",), ("Alice",), ("Bob",)], ["n"])
+    toks = [r[0] for r in df.select(curation.pseudonymize("n")).collect()]
+    assert toks[0] == toks[1] != toks[2]
+    assert all(len(t) == 16 for t in toks) and "Alice" not in toks[0]
+
+
+def test_pack_sequences_greedy_edges(spark):
+    # budget 10: [4, 4, 4] -> bins [0, 0, 1]; oversized doc 25 gets its own
+    # bin; doc after an oversized doc starts fresh
+    rows = [
+        ("a", 1, 4), ("a", 2, 4), ("a", 3, 4),
+        ("b", 1, 25), ("b", 2, 3),
+        ("c", 1, 10), ("c", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, nt long")
+    packed = curation.pack_sequences(df, "doc_id", "nt", "src", budget=10)
+    got = {
+        (r["src"], r["doc_id"]): r["bin_id"]
+        for r in packed.collect()
+    }
+    assert got[("a", 1)] == got[("a", 2)] == 0 and got[("a", 3)] == 1
+    assert got[("b", 1)] == 0 and got[("b", 2)] == 1
+    assert got[("c", 1)] == 0 and got[("c", 2)] == 1  # exact fit closes the bin
+
+
+def test_pack_respects_budget(spark):
+    df = spark.createDataFrame(
+        [("s", i, 7) for i in range(100)], "src string, doc_id long, nt long"
+    )
+    packed = curation.pack_sequences(df, "doc_id", "nt", "src", budget=20)
+    fills = (
+        packed.groupBy("src", "bin_id").agg(F.sum("nt").alias("fill")).collect()
+    )
+    assert all(r["fill"] <= 20 for r in fills)
+    # first-fit in id order => bins are contiguous id runs
+    runs = packed.groupBy("bin_id").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n")
+    )
+    assert all(r["hi"] - r["lo"] + 1 == r["n"] for r in runs.collect())
+
+
+def test_mixture_sample_rates(spark):
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "hi").otherwise("lo").alias("src"),
+    )
+    kept = curation.mixture_sample(df, "doc_id", "src", {"hi": 0.9, "lo": 0.1})
+    counts = dict(kept.groupBy("src").count().collect())
+    assert 0.85 < counts["hi"] / 5_000 < 0.95
+    assert 0.07 < counts["lo"] / 5_000 < 0.13
+
+
+def test_quality_rules_flags(spark):
+    good = " ".join(f"word{i}" for i in range(60))
+    short = "tiny doc"
+    repeaty = " ".join(["same"] * 30 + [f"w{i}" for i in range(70)])
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, repeaty)], "doc_id long, text string"
+    )
+    flags = {r["doc_id"]: r for r in curation.quality_rules(df, "text").collect()}
+    assert flags[1]["keep"]
+    assert not flags[2]["ok_n_words"] and not flags[2]["keep"]
+    assert not flags[3]["ok_no_repeat"] and not flags[3]["keep"]
