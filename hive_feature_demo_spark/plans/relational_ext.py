@@ -394,3 +394,45 @@ def q134_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_orderkey",
         F.date_format("asof_time", _TS_FMT).alias("next_order_ts"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q144 — semi-structured ingestion via the VARIANT type (Spark 4):
+# ``parse_json`` turns the raw JSON payload column into a variant once at
+# the scan, and ``variant_get`` does typed path extraction downstream —
+# the open-schema ingest shape (store the payload, type it at query time)
+# without string re-parsing per access. Extraction + aggregation stay
+# whole-stage-codegen; one partial-agg shuffle on the extracted key.
+# Complements q56, which is the schema_of_json/from_json FIXED-schema path.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q144_variant_json_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(FLOOR(value * 100 + 0.5)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="relational",
+)
+def q144_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        e.select(
+            (k % 10).alias("k_bucket"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+        .filter(F.col("k_bucket").isNotNull())
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )

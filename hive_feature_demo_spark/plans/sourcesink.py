@@ -267,3 +267,54 @@ def q135_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — dynamic partition pruning round trip: lineitem is rewritten
+# hive-partitioned by ship month, then joined to a tiny month dimension
+# filtered to Q1 — the filter reaches the fact scan only at RUNTIME,
+# through the join (DPP): Spark builds the broadcast side first and prunes
+# fact partitions by the surviving join keys. THE mechanism that makes
+# "fact JOIN filtered dim" read 3/12ths of a 100 TB table instead of all
+# of it; `tests/test_scale_plans.py` asserts the plan carries
+# `dynamicpruning` on the fact scan. Oracle filters the original table
+# directly, proving the runtime-pruned read returns exactly Q1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q145_dpp_roundtrip",
+    oracle=f"""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           COUNT(*) AS n_items,
+           {sql_exact_sum_fixed('l_extendedprice', 2)} AS total_price
+    FROM lineitem
+    WHERE quarter(l_shipdate) = 1
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="sources",
+)
+def q145_dpp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    fact = lineitem.withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q145_"), "lineitem_by_month")
+    writers.write_partitioned(fact, out, partition_cols=["ship_month"])
+    back = spark.read.parquet(out)
+    dim = (
+        lineitem.select(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+        .withColumn(
+            "q", F.quarter(F.to_date(F.concat(F.col("ship_month"), F.lit("-01"))))
+        )
+    )
+    return (
+        back.join(F.broadcast(dim.filter(F.col("q") == 1)), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum_fixed("l_extendedprice", 2, "total_price"),
+        )
+        .orderBy("ship_month")
+    )

@@ -9,7 +9,7 @@ update order differs between engines in the last ulps).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
@@ -675,3 +675,126 @@ def q117_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("session_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — time-series linear interpolation: per-user daily value totals on a
+# full date spine, with missing days filled by linear interpolation between
+# the neighboring observed days (edges held to the nearest observation).
+# The resample-and-fill step before feeding regularly-spaced models.
+#
+# Complements q110 (zero-fill): interpolation needs BOTH neighbors, built
+# from two ignore-nulls window passes (backward last + forward first) — one
+# shuffle on user_id, both window frames share its sort. The spine
+# cross-join is users x days where days is tiny and broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q143_interpolate_timeseries",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             FLOOR(value * 100 + 0.5) AS cents
+      FROM events WHERE user_id < 50
+    ), bounds AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM f
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), daily AS (
+      SELECT user_id, day, CAST(SUM(cents) AS DOUBLE) / 100.0 AS observed
+      FROM f GROUP BY 1, 2
+    ), grid AS (
+      SELECT u.user_id, s.day, d.observed
+      FROM (SELECT DISTINCT user_id FROM f) u
+      CROSS JOIN spine s
+      LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    ), nb AS (
+      SELECT user_id, day, observed,
+             last_value(observed IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+             last_value(CASE WHEN observed IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+             first_value(observed IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+             first_value(CASE WHEN observed IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+      FROM grid
+    )
+    SELECT user_id, day,
+           (FLOOR((CASE
+              WHEN observed IS NOT NULL THEN observed
+              WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                prev_val + (next_val - prev_val)
+                  * (CAST(day - prev_day AS DOUBLE)
+                     / CAST(next_day - prev_day AS DOUBLE))
+              ELSE COALESCE(prev_val, next_val) END) * 10000.0 + 0.5) / 10000.0)
+             AS value_filled,
+           CAST(CASE WHEN observed IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_observed
+    FROM nb ORDER BY user_id, day
+    """,
+    category="stats",
+)
+def q143_interpolate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    f = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+    )
+    bounds = f.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        f.groupBy("user_id", "day")
+        .agg((F.sum("cents").cast("double") / 100.0).alias("observed"))
+    )
+    grid = (
+        f.select("user_id").distinct()
+        .crossJoin(F.broadcast(spine))
+        .join(daily, ["user_id", "day"], "left")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed").isNotNull(), F.col("day"))
+    nb = grid.select(
+        "user_id",
+        "day",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w_back).alias("prev_val"),
+        F.last(obs_day, ignorenulls=True).over(w_back).alias("prev_day"),
+        F.first("observed", ignorenulls=True).over(w_fwd).alias("next_val"),
+        F.first(obs_day, ignorenulls=True).over(w_fwd).alias("next_day"),
+    )
+    lerp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * (
+        F.datediff("day", "prev_day").cast("double")
+        / F.datediff("next_day", "prev_day").cast("double")
+    )
+    filled = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(), lerp
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+    )
+    return nb.select(
+        "user_id",
+        "day",
+        (F.floor(filled * 10000.0 + F.lit(0.5)) / 10000.0).alias("value_filled"),
+        F.col("observed").isNotNull().cast("long").alias("is_observed"),
+    ).orderBy("user_id", "day")

@@ -702,3 +702,74 @@ def q136_stateful_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"q136_out_{next(_STREAM_RUN_SEQ)}"
     sops.run_to_memory(out, name, output_mode="append")
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# q146 — transformWithStateInPandas (the Spark 4 StatefulProcessor API,
+# successor to applyInPandasWithState): per-user running totals held in a
+# typed ValueState, updated per micro-batch, emitted with Update
+# semantics. The final per-user row is the running maximum (totals are
+# monotone), so the end state equals the batch per-user aggregate and the
+# oracle can hash-check an arbitrary-stateful streaming run against SQL.
+# Fixed-point accumulation makes the result independent of micro-batch
+# boundaries and arrival order.
+#
+# DEPENDENCY GATE: the transformWithState Python runner speaks protobuf to
+# the JVM state server; this container ships no `protobuf`, so the query
+# registers only when the import resolves (same spirit as the gated media
+# codecs). The operator itself (`streaming/ops.transform_with_state_totals`)
+# is complete and runs wherever pyspark's [connect]/protobuf extra is
+# installed; q136 (applyInPandasWithState) is the always-on arbitrary-state
+# path covering the identical semantics class.
+# ---------------------------------------------------------------------------
+
+import importlib.util as _ilu
+
+try:
+    _HAS_TWS_DEPS = _ilu.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # no parent `google` package at all
+    _HAS_TWS_DEPS = False
+
+if _HAS_TWS_DEPS:
+
+    @register(
+        "q146_transform_with_state_totals",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(FLOOR(value * 100 + 0.5)) AS DOUBLE) / 100.0 AS total_value
+        FROM events
+        GROUP BY user_id ORDER BY user_id
+        """,
+        category="streaming",
+    )
+    def q146_transform_with_state_totals(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from hive_feature_demo_spark.streaming import ops as sops
+
+        events = _streamed_events(spark, sf_dir).select("user_id", "value")
+        totals = sops.transform_with_state_totals(events)
+        name = f"q146_out_{next(_STREAM_RUN_SEQ)}"
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            sops.run_to_memory(totals, name, output_mode="update")
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", prev
+                )
+            else:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+            )
+            .orderBy("user_id")
+        )

@@ -406,3 +406,69 @@ def stateful_sessions(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def transform_with_state_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (StatefulProcessor + typed state
+    handles) that supersedes ``applyInPandasWithState``.
+
+    Each micro-batch updates a per-key ValueState holding (count,
+    fixed-point units) and emits the key's new running totals (Update
+    semantics). Totals accumulate as integers so the result is identical
+    under any micro-batch partitioning of the input — the same
+    order-independence contract as the batch aggregates. State is one
+    tuple per user: keyed-state size is O(population), not O(events).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, units BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._totals.exists():
+                n, units = self._totals.get()
+            else:
+                n, units = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                import numpy as np
+
+                units += int(
+                    np.floor(pdf["value"].astype(float) * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._totals.update((n, units))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [units / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -110,3 +110,13 @@ def test_dynamic_partition_pruning_subquery(spark):
             "assertion is size-dependent, not a correctness failure"
         )
     assert "dynamicpruning" in plan
+
+
+def test_q145_dpp_fires_in_executed_plan(spark):
+    """The registered DPP round trip must actually carry dynamicpruning on
+    the fact scan (not just match its oracle by brute force)."""
+    from hive_feature_demo_spark.plans.sourcesink import q145_dpp_roundtrip
+
+    df = q145_dpp_roundtrip(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()

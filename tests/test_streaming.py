@@ -257,3 +257,21 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     run_once()  # restart from checkpoint: only the new batch lands
     second = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert second == [1, 2, 3]
+
+
+def test_transform_with_state_totals_gated(spark, sf_dir):
+    """transformWithStateInPandas needs protobuf (state-server protocol);
+    run the operator end-to-end where available, skip (documented gap)
+    where the container lacks it."""
+    import pytest as _pytest
+
+    from hive_feature_demo_spark.plans.streaming_batch import _HAS_TWS_DEPS
+
+    if not _HAS_TWS_DEPS:
+        _pytest.skip("protobuf not installed: transformWithState runner unavailable")
+    from hive_feature_demo_spark.plans.streaming_batch import (
+        q146_transform_with_state_totals,
+    )
+
+    got = q146_transform_with_state_totals(spark, sf_dir).limit(3).collect()
+    assert all(r["n_events"] >= 1 for r in got)
