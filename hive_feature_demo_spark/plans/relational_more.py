@@ -846,3 +846,112 @@ def q115_multi_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*cols)
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — UNPIVOT (wide -> long), the inverse of q15's pivot: the three
+# money measures of lineitem melt into (measure, value) rows, then
+# aggregate per measure. `DataFrame.unpivot` is a narrow projection (each
+# input row emits k rows in place — no shuffle until the final 3-key agg).
+# The long format is what generic profilers/metric stores consume.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q147_unpivot_measures",
+    oracle="""
+    WITH long_form AS (
+      SELECT 'l_discount' AS measure, l_discount AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', l_tax FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(v * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total,
+           CAST(MIN(FLOOR(v * 100 + 0.5)) AS DOUBLE) / 100.0 AS min_v,
+           CAST(MAX(FLOOR(v * 100 + 0.5)) AS DOUBLE) / 100.0 AS max_v
+    FROM long_form GROUP BY measure ORDER BY measure
+    """,
+    category="relational",
+)
+def q147_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    long_form = l.unpivot(
+        ids=[],
+        values=["l_discount", "l_extendedprice", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    return (
+        long_form.select("measure", cents.alias("c"))
+        .groupBy("measure")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("c").cast("double") / 100.0).alias("total"),
+            (F.min("c").cast("double") / 100.0).alias("min_v"),
+            (F.max("c").cast("double") / 100.0).alias("max_v"),
+        )
+        .orderBy("measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — RANGE-frame rolling window: per-user 3-day rolling totals over
+# the daily event series. RANGE frames bound by the ORDER-BY *value*
+# (days), not row offsets — days with no events genuinely fall out of the
+# frame, which ROWS frames get wrong on gappy series. One shuffle+sort on
+# user_id; the frame scan is a single pass per partition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q148_rolling_range_window",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_num,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id, day,
+           CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS rolling_3d_value,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS rolling_3d_events
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day
+    """,
+    category="stats",
+)
+def q148_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            ),
+            F.count("*").alias("n_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        (F.sum("cents").over(w).cast("double") / 100.0).alias("rolling_3d_value"),
+        F.sum("n_events").over(w).cast("long").alias("rolling_3d_events"),
+    ).orderBy("user_id", "day")

