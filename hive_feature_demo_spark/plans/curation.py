@@ -322,3 +322,62 @@ def q142_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — domain capping: keep at most N docs per source, chosen by each
+# doc's own hash (rank within source ordered by (hash, id)) — the "no
+# single domain dominates the mixture" rule. Deterministic: the selection
+# is a pure function of doc ids, so re-runs and engine changes keep the
+# same sample. One shuffle on source for the rank window; at 100 TB
+# sources with < N docs short-circuit via the same plan (window rank is
+# per-partition after the shuffle, no global sort).
+# ---------------------------------------------------------------------------
+
+_CAP_N = 15
+
+
+@register(
+    "q151_domain_capping",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, {_SQL_NWORDTOK} AS wt,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_H4_DOC} % 10000, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(wt) AS BIGINT) AS kept_word_tokens,
+           CAST(MAX(rk) AS BIGINT) AS max_rank
+    FROM ranked WHERE rk <= {_CAP_N}
+    GROUP BY source ORDER BY source
+    """,
+    category="curation",
+)
+def q151_domain_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            curation.hash_bucket("doc_id", 10_000), "doc_id"
+        )
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.size(word_tokens_regex("text")).cast("long").alias("wt"),
+            rk.alias("rk"),
+        )
+        .filter(F.col("rk") <= _CAP_N)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("wt").cast("bigint").alias("kept_word_tokens"),
+            F.max("rk").cast("long").alias("max_rank"),
+        )
+        .orderBy("source")
+    )

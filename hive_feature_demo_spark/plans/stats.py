@@ -798,3 +798,78 @@ def q143_interpolate_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(filled * 10000.0 + F.lit(0.5)) / 10000.0).alias("value_filled"),
         F.col("observed").isNotNull().cast("long").alias("is_observed"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# q150 — winsorized (clamped) robust statistics per segment: balances
+# clamp to the exact [p05, p95] percentile band, then aggregate. Outlier
+# handling before feature computation; the percentile pre-pass is one
+# small agg joined back by broadcast (bounds table = |segments| rows), so
+# the fact side is scanned twice but shuffled once. Bounds round to 4dp
+# BEFORE the clamp comparison so the boundary decision is bit-identical
+# across engines; clamped values quantize to cents for the exact
+# integer-sum mean.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q150_winsorized_stats",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment,
+             FLOOR(quantile_cont(c_acctbal, 0.05) * 10000 + 0.5) / 10000 AS lo,
+             FLOOR(quantile_cont(c_acctbal, 0.95) * 10000 + 0.5) / 10000 AS hi
+      FROM customer GROUP BY 1
+    ), w AS (
+      SELECT c.c_mktsegment, b.lo, b.hi,
+             CASE WHEN c.c_acctbal < b.lo THEN 1 ELSE 0 END AS is_lo,
+             CASE WHEN c.c_acctbal > b.hi THEN 1 ELSE 0 END AS is_hi,
+             CAST(FLOOR(LEAST(GREATEST(c.c_acctbal, b.lo), b.hi) * 100 + 0.5)
+               AS BIGINT) AS cents
+      FROM customer c JOIN b USING (c_mktsegment)
+    )
+    SELECT c_mktsegment, ANY_VALUE(lo) AS p05, ANY_VALUE(hi) AS p95,
+           CAST(SUM(is_lo) AS BIGINT) AS n_clamped_low,
+           CAST(SUM(is_hi) AS BIGINT) AS n_clamped_high,
+           FLOOR(CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 * 10000 + 0.5)
+             / 10000 AS winsorized_mean
+    FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    category="stats",
+)
+def q150_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    b = c.groupBy("c_mktsegment").agg(
+        (F.floor(F.percentile("c_acctbal", 0.05) * 10000 + F.lit(0.5)) / 10000).alias(
+            "lo"
+        ),
+        (F.floor(F.percentile("c_acctbal", 0.95) * 10000 + F.lit(0.5)) / 10000).alias(
+            "hi"
+        ),
+    )
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))
+    w = c.join(F.broadcast(b), "c_mktsegment").select(
+        "c_mktsegment",
+        "lo",
+        "hi",
+        (F.col("c_acctbal") < F.col("lo")).cast("long").alias("is_lo"),
+        (F.col("c_acctbal") > F.col("hi")).cast("long").alias("is_hi"),
+        F.floor(clamped * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        w.groupBy("c_mktsegment")
+        .agg(
+            F.any_value("lo").alias("p05"),
+            F.any_value("hi").alias("p95"),
+            F.sum("is_lo").alias("n_clamped_low"),
+            F.sum("is_hi").alias("n_clamped_high"),
+            (
+                F.floor(
+                    F.sum("cents").cast("double") / F.count("*") / 100.0 * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("c_mktsegment")
+    )

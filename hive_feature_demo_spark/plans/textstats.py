@@ -90,3 +90,82 @@ def q65_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — per-source token entropy + KL divergence from the corpus
+# distribution: the drift/contrast statistic for monitoring what a source
+# contributes to the training mixture. Two partial-agg shuffles (per
+# (source,term) counts, then per-source fold); the corpus marginals are a
+# broadcast-sized table (|vocab| rows). Per-term contributions quantize to
+# 1e-12 fixed point BEFORE summing, so the fold is an exact integer sum —
+# order-independent across engines and partitionings (Σ of doubles is
+# not).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q149_source_token_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), st AS (
+      SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    ), s_tot AS (
+      SELECT source, SUM(c) AS tot FROM st GROUP BY 1
+    ), corpus AS (
+      SELECT term, SUM(c) AS cc FROM st GROUP BY 1
+    ), c_tot AS (
+      SELECT SUM(cc) AS ctot FROM corpus
+    ), contrib AS (
+      SELECT st.source,
+             CAST(FLOOR(-(st.c / s_tot.tot) * ln(st.c / s_tot.tot) * 1e12 + 0.5)
+               AS BIGINT) AS h_units,
+             CAST(FLOOR((st.c / s_tot.tot)
+                        * ln((st.c / s_tot.tot) / (corpus.cc / c_tot.ctot))
+                        * 1e12 + 0.5) AS BIGINT) AS kl_units
+      FROM st
+      JOIN s_tot USING (source)
+      JOIN corpus USING (term)
+      CROSS JOIN c_tot
+    )
+    SELECT source, COUNT(*) AS n_terms,
+           CAST(SUM(h_units) AS DOUBLE) / 1e12 AS entropy_nats,
+           CAST(SUM(kl_units) AS DOUBLE) / 1e12 AS kl_from_corpus
+    FROM contrib GROUP BY source ORDER BY source
+    """,
+    category="textstats",
+)
+def q149_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(textops.word_tokens_lower("text")).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus = st.groupBy("term").agg(F.sum("c").alias("cc"))
+    c_tot = corpus.agg(F.sum("cc").alias("ctot"))
+    p = F.col("c") / F.col("tot")
+    q = F.col("cc") / F.col("ctot")
+    contrib = (
+        st.join(s_tot, "source")
+        .join(F.broadcast(corpus), "term")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "source",
+            F.floor(-p * F.log(p) * 1e12 + F.lit(0.5)).cast("long").alias("h_units"),
+            F.floor(p * F.log(p / q) * 1e12 + F.lit(0.5))
+            .cast("long")
+            .alias("kl_units"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            (F.sum("h_units").cast("double") / 1e12).alias("entropy_nats"),
+            (F.sum("kl_units").cast("double") / 1e12).alias("kl_from_corpus"),
+        )
+        .orderBy("source")
+    )
