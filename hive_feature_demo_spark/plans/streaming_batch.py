@@ -781,3 +781,50 @@ if _HAS_TWS_DEPS:
             )
             .orderBy("user_id")
         )
+
+
+# ---------------------------------------------------------------------------
+# q152 — foreachBatch parquet sink round trip: the events stream lands in
+# parquet through the idempotent batch-ledger sink (exactly-once-ish on an
+# at-least-once channel), is read BACK from disk, and aggregated. The
+# oracle aggregates the source table directly, so a hash match proves the
+# sink lost/duplicated nothing — the property the ledger exists to
+# guarantee. The aggregation itself is plain batch SQL over the landed
+# files, i.e. the stream-lands-then-batch-reads lambda shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q152_foreachbatch_sink_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(FLOOR(value * 100 + 0.5)) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+)
+def q152_foreachbatch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    base = tempfile.mkdtemp(prefix="hfd_q152_")
+    out_dir = os.path.join(base, "landed")
+    ledger = os.path.join(base, "ledger")
+    events = _streamed_events(spark, sf_dir).select("event_id", "event_type", "value")
+    sops.run_foreach_batch_parquet(events, out_dir, ledger)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -100,3 +100,28 @@ def test_money_rounding_matches_duckdb_round_even(spark):
             "SELECT round_even(CAST(? AS DECIMAL(25,10))::DOUBLE, 2)", [v]
         ).fetchone()[0]
         assert got[i] == want, (v, got[i], want)
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Sketch MERGEABILITY: the datasketches HLL estimate from per-group
+    partial sketches unioned together must equal the single-pass estimate
+    — the property that lets 1000 executors sketch independently and
+    combine (exact distinct counts would shuffle the key universe
+    instead). Estimates are approximate; merge-vs-direct must be EXACTLY
+    equal (same sketch algebra), which is what this pins."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 10).alias("g"), (F.col("id") % 7919).alias("v")
+    )
+    direct = df.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("est")
+    ).collect()[0]["est"]
+    merged = (
+        df.groupBy("g")
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .select(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]["est"]
+    )
+    assert direct == merged
+    assert abs(direct - 7919) / 7919 < 0.05
