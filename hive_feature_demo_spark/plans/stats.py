@@ -873,3 +873,61 @@ def q150_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — co-occurrence (market-basket) pairs: which event types appear
+# together in the same user-day "basket", counted over all baskets. Built
+# WITHOUT a self-join: collect_set per basket (one shuffle), then ordered
+# pairs from the sorted array by pure array ops (narrow), then one
+# pair-count agg keyed on ~|types|^2 keys. The self-join formulation
+# shuffles the fact table twice and explodes on hot baskets; this shape's
+# explode is bounded by k^2 per basket (k = distinct types, here <= 5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q154_event_cooccurrence",
+    oracle="""
+    WITH baskets AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             list_sort(list_distinct(list(event_type))) AS types
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b
+      FROM baskets, unnest(types) AS a(t), unnest(types) AS b(t)
+      WHERE a.t < b.t
+    )
+    SELECT type_a, type_b, COUNT(*) AS n_baskets
+    FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    category="stats",
+)
+def q154_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    baskets = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    # ordered pairs (a < b) from the sorted array: for index i, pair with
+    # every later element — flatten(transform(indices, i -> transform(tail..)))
+    types = F.col("types")
+    idx = F.sequence(F.lit(0), F.size(types) - 2)
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(types, i + 2, F.size(types)),
+                lambda b: F.struct(
+                    F.element_at(types, i + 1).alias("type_a"), b.alias("type_b")
+                ),
+            ),
+        )
+    )
+    return (
+        baskets.filter(F.size(types) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_baskets"))
+        .orderBy("type_a", "type_b")
+    )

@@ -106,3 +106,72 @@ def q73_pandas_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", udfs.log1p_score()("value").alias("score")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q153 — mapInArrow: the last UDF flavor (RecordBatch-level Arrow access,
+# zero pandas materialization — the lowest-overhead Python crossing, the
+# shape model-inference batching uses). Computes per-vector L2 norms with
+# NumPy over Arrow columns. Cross-engine exactness: each element's square
+# quantizes to 1e-9 fixed point BEFORE the sum (identical double ops both
+# engines; integer sum is order-free), then sqrt/round are single
+# deterministic ops. Per-label averages aggregate 1e-6-quantized norms as
+# plain longs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q153_mapinarrow_norms",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(FLOOR(sqrt(CAST(list_sum(list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e9
+                                    + 0.5) AS BIGINT))) AS DOUBLE) / 1e9)
+                        * 1e6 + 0.5) AS BIGINT) AS norm_units
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(FLOOR(CAST(SUM(norm_units) AS DOUBLE) / COUNT(*) + 0.5) AS DOUBLE)
+             / 1e6 AS avg_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+    category="udf",
+)
+def q153_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            tbl = batch.to_pydict()
+            labels = tbl["label"]
+            units = []
+            for vec in tbl["embedding"]:
+                x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+                sq = np.floor(x * x * 1e9 + 0.5).astype(np.int64).sum()
+                nrm = float(np.sqrt(sq / 1e9))
+                units.append(int(np.floor(nrm * 1e6 + 0.5)))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "label": pa.array(labels, type=pa.int32()),
+                    "norm_units": pa.array(units, type=pa.int64()),
+                }
+            )
+
+    normed = emb.mapInArrow(batches, schema="label int, norm_units long")
+    return (
+        normed.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (
+                F.floor(
+                    F.sum("norm_units").cast("double") / F.count("*") + F.lit(0.5)
+                ).cast("double")
+                / 1e6
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
