@@ -209,14 +209,88 @@ def q63_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q82 — IVF with a TRAINED codebook: deterministic distributed Lloyd
 # k-means (operators/similarity.train_centroids) feeding the same
-# assign/probe/re-rank plan as q63. Iterative training is not
-# SQL-expressible, so this registers without an oracle (rows-only check);
-# the training itself is verified exactly against a NumPy Lloyd reference
-# in tests/test_dedup_similarity.py.
+# assign/probe/re-rank plan as q63. Training is deterministic by
+# construction (init = k lowest-id vectors, rounded distances with cid
+# tie-breaks, order-independent decimal means rounded to 6dp each
+# iteration), so the FIXED iteration count (2) unrolls into plain SQL: the
+# oracle replays init -> assign -> mean -> assign -> mean as CTEs and then
+# the same probe/re-rank as the engine. Per-iteration 6dp rounding re-syncs
+# both engines' float state, so the replay is exact, not approximate.
 # ---------------------------------------------------------------------------
 
+_Q82_K = 8
 
-@register("q82_ivf_trained_topk", oracle=None, category="ann")
+
+def _sql_assign(src: str, cents: str, where: str = "", nprobe: int = 1) -> str:
+    """DuckDB replica of similarity.ivf_assign: nearest-centroid(s) by
+    6dp-rounded L2 with centroid-id tie-break."""
+    return f"""(
+      SELECT vec_id, ev, cid FROM (
+        SELECT s.vec_id, s.ev, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY {sql_round_det("list_distance(s.ev, c.cv)", 6)}, c.cid) AS rn
+        FROM {src} s, {cents} c {where}) WHERE rn <= {nprobe})"""
+
+
+_SQL_MEAN = """(
+      SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+        SELECT a.cid, g.dim,
+               {mean} AS mv
+        FROM {assigned} a, generate_series(0, {maxdim}) g(dim)
+        GROUP BY a.cid, g.dim)
+      GROUP BY cid)"""
+
+
+def _sql_lloyd_mean(assigned: str) -> str:
+    return _SQL_MEAN.format(
+        assigned=assigned,
+        maxdim=_DIM - 1,
+        mean=sql_round_det(
+            "CAST(SUM(CAST(a.ev[g.dim + 1] AS DECIMAL(25,10))) AS DOUBLE)"
+            " / COUNT(*)",
+            6,
+        ),
+    )
+
+
+@register(
+    "q82_ivf_trained_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             ev AS cv
+      FROM (SELECT vec_id, ev FROM v ORDER BY vec_id LIMIT {_Q82_K})
+    ),
+    a1 AS {_sql_assign("v", "c0")},
+    c1 AS {_sql_lloyd_mean("a1")},
+    a2 AS {_sql_assign("v", "c1")},
+    c2 AS {_sql_lloyd_mean("a2")},
+    lists AS (
+      SELECT vec_id AS neighbor_id, ev AS cvv, cid
+      FROM {_sql_assign("v", "c2")}
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, ev AS qv, cid
+      FROM {_sql_assign("v", "c2", where="WHERE s.vec_id < 10", nprobe=2)}
+    ),
+    scored AS (
+      SELECT p.query_id, l.neighbor_id,
+             {sql_round_det(_COS.format(a="l.cvv", b="p.qv"), 4)} AS cos_sim
+      FROM lists l JOIN probes p USING (cid)
+      WHERE l.neighbor_id != p.query_id
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
 def q82_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cents = similarity.train_centroids(emb, k=8, iters=2).withColumnRenamed(

@@ -893,8 +893,13 @@ _CURATION_QUALITY = """0.5 * least(1.0, n_tokens / 100.0)
     )
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           {sql_round_det("(CAST(SUM(CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0) / COUNT(*)", 4)} AS avg_quality
+           -- DuckDB SUM(BIGINT) returns HUGEINT; cast back so the driver's
+           -- type canonicalization can't diverge from Spark's BIGINT
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           -- mean quality as a 1e4-scaled integer (round-half-up), so the
+           -- comparison surface holds no doubles at all
+           CAST(FLOOR((2 * SUM(CAST(FLOOR(quality * 10000 + 0.5) AS BIGINT)) + COUNT(*))
+                / (2 * COUNT(*))) AS BIGINT) AS avg_quality_e4
     FROM scored
     WHERE quality >= 0.5
     GROUP BY source
@@ -919,17 +924,26 @@ def q132_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("quality"),
     ).filter(F.col("quality") >= 0.5)
+    # 4dp-rounded qualities scaled to integers sum exactly, so the mean is
+    # independent of row/partition order (float SUM is not); the mean is
+    # then emitted as a 1e4-scaled BIGINT — the whole comparison surface is
+    # integral, immune to cross-engine float/HUGEINT formatting drift.
+    units = F.floor(F.col("quality") * 10000 + F.lit(0.5)).cast("long")
     return (
         scored.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            # 4dp-rounded qualities scaled to integers sum exactly, so the
-            # mean is independent of row/partition order (float SUM is not)
-            round_det(
-                numeric.exact_sum_fixed("quality", 4) / F.count("*"), 4
-            ).alias("avg_quality"),
+            F.sum(units).alias("_q_e4_sum"),
         )
+        .withColumn(
+            "avg_quality_e4",
+            F.floor(
+                (2 * F.col("_q_e4_sum") + F.col("n_docs"))
+                / (2 * F.col("n_docs"))
+            ).cast("long"),
+        )
+        .drop("_q_e4_sum")
         .orderBy("source")
     )
 

@@ -202,27 +202,51 @@ def q68_media_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q121 — REAL bilinear resize output statistics. Fractional interpolation
-# weights are not SQL-replayable, so this registers rows-only for the
-# driver; the resize kernel itself is verified in pytest against an
-# independent per-pixel reference implementation
-# (tests/test_multimodal_math.py), and the area-mean invariant
-# (resized mean ~= source mean) is asserted per asset here via a column.
+# q121 — REAL bilinear resize output statistics, restructured so every
+# emitted column is exactly reproducible: resize geometry is md5-derivable
+# (the oracle recomputes it from the content digest), and the one
+# genuinely-interpolating value (the resized buffer's mean) is surfaced as
+# a BOUNDS BOOLEAN — bilinear downsampling preserves the area mean up to
+# edge effects, so |resized_mean - mean_px| < 16 is a deterministic
+# invariant of a correct kernel, which the oracle asserts as TRUE. If the
+# resize kernel ever drifts, the boolean flips and the hash check fails.
+# Fractional per-pixel parity stays in tests/test_multimodal_math.py
+# against an independent reference implementation.
 # ---------------------------------------------------------------------------
 
 
-@register("q121_media_resized_stats", oracle=None, category="multimodal")
+@register(
+    "q121_media_resized_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id AS asset_id,
+             CAST({_WIDTH} AS INT) AS width,
+             CAST({_HEIGHT} AS INT) AS height,
+             CAST({_NFRAMES} AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT asset_id, width, height, n_frames,
+           CAST(GREATEST(1, width * {multimodal.RESIZE_TARGET}
+                // GREATEST(width, height)) AS INT) AS out_width,
+           CAST(GREATEST(1, height * {multimodal.RESIZE_TARGET}
+                // GREATEST(width, height)) AS INT) AS out_height,
+           TRUE AS mean_preserved
+    FROM dims
+    ORDER BY asset_id
+    """,
+    category="multimodal",
+)
 def q121_media_resized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _media(spark, sf_dir)
         .select(
             "asset_id",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.col("n_frames").cast("long").alias("n_frames"),
             "out_width",
             "out_height",
-            "resized_mean",
-            "mean_px",
-            # bilinear downsampling preserves the mean up to edge effects;
-            # a drift bound is a cheap online sanity check on the kernel
+            # real bilinear-resize math feeds this bound; the oracle pins it
             (F.abs(F.col("resized_mean") - F.col("mean_px")) < F.lit(16.0)).alias(
                 "mean_preserved"
             ),

@@ -157,20 +157,56 @@ def q53_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q54 — approximate sketches (HLL++ distinct, approx quantiles): the scale
-# path for cardinality/quantile estimation. No SQL-exact oracle exists for
-# sketch internals -> rows-only check (documented weaker gate).
+# path for cardinality/quantile estimation. Sketch INTERNALS are not
+# SQL-expressible, but their accuracy CONTRACTS are deterministic booleans:
+# HLL++ at default rsd=0.05 must land within 10% of the exact count, and a
+# 1/1000-accuracy quantile sketch's median must sit between the exact 45th
+# and 55th percentiles. The query emits the exact counts (hash-checked
+# value-for-value against DuckDB) plus the sketch-within-bounds booleans
+# (the oracle pins them TRUE) — so the sketch path is driver-verified
+# end-to-end, not rows-only.
 # ---------------------------------------------------------------------------
 
 
-@register("q54_approx_sketches", oracle=None)
+@register(
+    "q54_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           TRUE AS orders_sketch_ok,
+           TRUE AS parts_sketch_ok,
+           TRUE AS median_sketch_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def q54_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
+    rel_ok = lambda approx, exact: (  # noqa: E731
+        F.abs(approx.cast("double") - exact) / exact <= F.lit(0.10)
+    )
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.approx_count_distinct("l_orderkey").alias("_a_orders"),
+            F.approx_count_distinct("l_partkey").alias("_a_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_a_median"),
+            F.percentile("l_extendedprice", 0.45).alias("_p45"),
+            F.percentile("l_extendedprice", 0.55).alias("_p55"),
+        )
+        .select(
+            "l_returnflag",
+            "n_orders",
+            "n_parts",
+            rel_ok(F.col("_a_orders"), F.col("n_orders")).alias("orders_sketch_ok"),
+            rel_ok(F.col("_a_parts"), F.col("n_parts")).alias("parts_sketch_ok"),
+            F.col("_a_median").between(F.col("_p45"), F.col("_p55")).alias(
+                "median_sketch_ok"
+            ),
         )
         .orderBy("l_returnflag")
     )
