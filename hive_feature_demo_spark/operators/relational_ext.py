@@ -96,3 +96,79 @@ def range_join(
     return fact.join(
         F.broadcast(intervals), (value >= F.col(lo)) & (value < F.col(hi)), "left"
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "global_rank",
+    cells: int = 1024,
+) -> DataFrame:
+    """Exact 1-based global rank over a total order WITHOUT a global window.
+
+    A single-partition ``Window.orderBy`` funnels the whole table through
+    one task — fine to ~10^8 rows, fatal at 100 TB. The distributed
+    formulation buckets rows on a deterministic value grid over the FIRST
+    order column (grid cells are monotone in the column, so cell order is
+    consistent with the total order), ranks within each cell with an
+    ordinary partitioned window, and shifts each cell's ranks by the row
+    count of all cells before it. The per-cell counts are ≤ ``cells``
+    scalars — collected to the driver and broadcast back, the same
+    bounded-state pattern as CC convergence counts.
+
+    Buckets derive from data values, NOT from physical partitioning
+    (``repartitionByRange`` samples boundaries, so two evaluations of the
+    same lineage can split differently — spark_partition_id-based offsets
+    are unsound without materialization). ``order_cols`` must be a unique
+    key and the first column numeric; pathological skew (most rows in one
+    grid cell) degrades toward the single-partition sort and would need a
+    finer/recursive grid at extreme scale.
+    """
+    first = order_cols[0]
+    vmin, vmax = df.agg(F.min(first), F.max(first)).collect()[0]
+    if vmin is None or vmax == vmin:
+        cell = F.lit(0)
+    else:
+        step = (vmax - vmin) / float(cells)
+        cell = F.least(
+            F.lit(cells - 1),
+            F.greatest(F.lit(0), F.floor((F.col(first) - F.lit(vmin)) / F.lit(step))),
+        ).cast("int")
+    local = df.withColumn("_cell", cell).withColumn(
+        "_lrank",
+        F.row_number().over(
+            Window.partitionBy("_cell").orderBy(*[F.asc(c) for c in order_cols])
+        ),
+    )
+    counts = dict(
+        local.groupBy("_cell").agg(F.count("*").alias("n")).collect()
+    )  # <= cells rows — bounded driver state
+    offsets, acc = {}, 0
+    for c in sorted(counts):
+        offsets[c] = acc
+        acc += counts[c]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(c), int(o)) for c, o in offsets.items()], "_cell int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_cell")
+        .withColumn(rank_col, (F.col("_lrank") + F.col("_off")).cast("long"))
+        .drop("_cell", "_lrank", "_off")
+    )
+
+
+def ntile_from_rank(rank: Column, n_rows: int, buckets: int) -> Column:
+    """ANSI NTILE(buckets) from a precomputed global rank: the first
+    ``n_rows % buckets`` buckets hold ``n_rows // buckets + 1`` rows, the
+    rest one fewer — exactly Spark's and DuckDB's NTILE. Lets equi-depth
+    bucketing run on :func:`global_rank` output instead of a
+    single-partition window."""
+    q, r = n_rows // buckets, n_rows % buckets
+    if q == 0:
+        return rank.cast("long")
+    big = r * (q + 1)
+    return (
+        F.when(rank <= big, F.ceil(rank / (q + 1)))
+        .otherwise(r + F.ceil((rank - big) / q))
+        .cast("long")
+    )

@@ -547,10 +547,12 @@ def q107_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q116 — equi-DEPTH histogram (deciles): ntile over a total order gives
 # equal-population bins with their value boundaries — the profile view
-# equal-width bins (q87) can't give for skewed distributions. The global
-# ntile is a single-partition sort: exact, fine to ~10^8 rows; at 100 TB
-# the same report comes from approx_percentile boundaries (q53/q54's
-# sketch path) + one broadcast bucketing pass — no total order needed.
+# equal-width bins (q87) can't give for skewed distributions. The total
+# order is computed DISTRIBUTED (operators/relational_ext.global_rank:
+# range-repartition -> per-partition rank -> offset shift), so no fact row
+# ever flows through a single-partition WindowExec; NTILE semantics are
+# reconstructed from the rank (ntile_from_rank). Same oracle as before —
+# DuckDB's native NTILE must agree with the distributed formulation.
 # ---------------------------------------------------------------------------
 
 
@@ -573,13 +575,114 @@ def q107_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="stats",
 )
 def q116_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from hive_feature_demo_spark.operators.relational_ext import (
+        global_rank,
+        ntile_from_rank,
+    )
 
-    e = table(spark, sf_dir, "events")
-    w = W.orderBy("value", "event_id")
+    e = table(spark, sf_dir, "events").select("value", "event_id")
+    n = e.count()
+    r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
+    ranked = global_rank(e, ["value", "event_id"], rank_col="_r")
+    return (
+        ranked.select("value", ntile_from_rank(F.col("_r"), n, 10).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            r2(F.min("value")).alias("lo"),
+            r2(F.max("value")).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — equi-depth histogram, SKETCH PATH: the single-pass approximation
+# that replaces even the distributed total order at 100 TB. One narrow
+# pass bins values onto a fixed 1024-cell grid between the exact min/max;
+# decile boundaries are read off the (tiny) cumulative grid histogram and
+# broadcast back for one more narrow bucketing pass. Nothing wider than
+# 1024 rows is ever shuffled or sorted. The algorithm is deterministic
+# (integer counts + identical IEEE cell arithmetic), so the oracle replays
+# it exactly — the approximation is hash-checked, not just row-counted.
+# q116 stays as the exact verifier of the same report shape.
+# ---------------------------------------------------------------------------
+
+_ED_CELLS = 1024
+
+
+@register(
+    "q155_equidepth_histogram_approx",
+    oracle=f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax FROM events
+    ),
+    c AS (
+      SELECT e.event_id, e.value,
+             LEAST({_ED_CELLS - 1}, GREATEST(0, CAST(FLOOR(
+               (e.value - s.vmin) / ((s.vmax - s.vmin) / {_ED_CELLS}.0)
+             ) AS BIGINT))) AS cell
+      FROM events e, s
+    ),
+    cum AS (
+      SELECT cell, SUM(cnt) OVER (ORDER BY cell) AS cum FROM (
+        SELECT cell, COUNT(*) AS cnt FROM c GROUP BY cell)
+    ),
+    b AS (
+      SELECT g.i, MIN(cum.cell) AS bcell
+      FROM cum, generate_series(1, 9) g(i), s
+      WHERE cum.cum >= (g.i * s.n + 9) // 10
+      GROUP BY g.i
+    ),
+    d AS (
+      SELECT c.event_id, c.value,
+             1 + COUNT(b.i) AS decile
+      FROM c LEFT JOIN b ON b.bcell < c.cell
+      GROUP BY c.event_id, c.value
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           COUNT(*) AS n,
+           FLOOR(MIN(value) * 100 + 0.5) / 100.0 AS lo,
+           FLOOR(MAX(value) * 100 + 0.5) / 100.0 AS hi
+    FROM d
+    GROUP BY decile
+    ORDER BY decile
+    """,
+    category="stats",
+)
+def q155_equidepth_histogram_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_id", "value")
+    n, vmin, vmax = e.agg(
+        F.count("*"), F.min("value"), F.max("value")
+    ).collect()[0]
+    step = (vmax - vmin) / float(_ED_CELLS)
+    cell = F.least(
+        F.lit(_ED_CELLS - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("value") - F.lit(vmin)) / F.lit(step))
+        ),
+    ).cast("long")
+    cells = e.select("value", cell.alias("cell"))
+    # tiny grid histogram (<= 1024 rows) -> decile boundary cells, computed
+    # driver-side with pure integer arithmetic (bounded state, like CC's
+    # convergence scalars)
+    hist = sorted(
+        (r["cell"], r["n"])
+        for r in cells.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    )
+    targets = [(i * n + 9) // 10 for i in range(1, 10)]
+    bounds, cum, t = [], 0, 0
+    for c, cnt in hist:
+        cum += cnt
+        while t < 9 and cum >= targets[t]:
+            bounds.append(c)
+            t += 1
+    decile = F.lit(1)
+    for b in bounds:
+        decile = decile + (F.col("cell") > F.lit(b)).cast("int")
     r2 = lambda c: F.floor(c * 100 + F.lit(0.5)) / F.lit(100.0)  # noqa: E731
     return (
-        e.select("value", F.ntile(10).over(w).cast("long").alias("decile"))
+        cells.select("value", decile.cast("long").alias("decile"))
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),

@@ -158,3 +158,56 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_unpartitioned_window_over_fact_tables(spark):
+    """Equi-depth histograms must never sort the whole fact table through a
+    single WindowExec partition: q116 ranks inside deterministic value-grid
+    cells (operators/relational_ext.global_rank), q155 never ranks rows at
+    all. An unpartitioned windowspecdefinition's first argument is an order
+    spec (`... ASC/DESC`), a partitioned one a plain column."""
+    import re
+
+    from hive_feature_demo_spark.plans import REGISTRY
+
+    for name in ("q116_equidepth_histogram", "q155_equidepth_histogram_approx"):
+        plan = _formatted_plan(REGISTRY[name].fn(spark, SF_DIR))
+        for m in re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+            first = m.group(1)
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name}: unpartitioned window in plan: {m.group(0)}"
+            )
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    """global_rank's bucketed formulation must equal the textbook global
+    row_number over any distribution, including heavy ties + negatives."""
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    rows = [(i, float(v)) for i, v in enumerate([5, -3, 5, 0, 2, 2, 2, 9, -3, 7])]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got = {
+        r["id"]: r["r"]
+        for r in global_rank(df, ["v", "id"], rank_col="r", cells=4).collect()
+    }
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_constant_column(spark):
+    """All-equal order values collapse to one grid cell (vmin == vmax)."""
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    df = spark.createDataFrame([(i, 1.0) for i in range(5)], "id long, v double")
+    got = sorted(
+        (r["id"], r["r"])
+        for r in global_rank(df, ["v", "id"], rank_col="r").collect()
+    )
+    assert got == [(i, i + 1) for i in range(5)]
