@@ -117,6 +117,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "append",
     shuffle_partitions: int | None = 8,
+    available_now: bool = False,
 ) -> None:
     """Drive a streaming DataFrame to completion into an in-memory table.
 
@@ -128,20 +129,32 @@ def run_to_memory(
     AQE does not coalesce these, so the batch default of one-per-core is
     pure per-micro-batch scheduling overhead at test scale). Production
     sizes this to the cluster; results never depend on it.
+
+    ``available_now`` uses ``Trigger.AvailableNow`` (self-terminating batch
+    replay) instead of ``processAllAvailable``+stop. Measured equal at
+    sf0.1 (PERF.md); NOT the default because the continuous-trigger path
+    runs a final no-data micro-batch that advances the watermark — which
+    watermark-eviction outputs (leftOuter join releases, append-mode final
+    windows) rely on for end-of-input flushing.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        q = (
+        writer = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .start()
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
         try:
-            q.processAllAvailable()
+            if available_now:
+                q.awaitTermination()
+            else:
+                q.processAllAvailable()
         finally:
             q.stop()
     finally:
