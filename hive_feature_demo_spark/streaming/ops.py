@@ -430,17 +430,17 @@ TOTALS_SCHEMA = T.StructType(
 )
 
 
-def transform_with_state_totals(events: DataFrame) -> DataFrame:
-    """Per-user running totals via ``transformWithStateInPandas`` — the
-    Spark 4 arbitrary-stateful API (StatefulProcessor + typed state
-    handles) that supersedes ``applyInPandasWithState``.
+def make_running_totals_processor():
+    """Build the ``RunningTotals`` StatefulProcessor (Spark 4
+    ``transformWithStateInPandas`` API).
 
-    Each micro-batch updates a per-key ValueState holding (count,
-    fixed-point units) and emits the key's new running totals (Update
-    semantics). Totals accumulate as integers so the result is identical
-    under any micro-batch partitioning of the input — the same
-    order-independence contract as the batch aggregates. State is one
-    tuple per user: keyed-state size is O(population), not O(events).
+    Defined via a factory so the class is importable and unit-drivable in
+    containers that lack the protobuf state-server runtime: the
+    ``StatefulProcessor`` ABC itself has no protobuf dependency — only the
+    executor-side runner does — so tests can instantiate this exact class,
+    feed it a fake ``ValueState`` handle, and assert its semantics against
+    the batch aggregate (tests/test_streaming.py). The class that ships to
+    a real cluster is byte-for-byte the one exercised by that harness.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -479,8 +479,23 @@ def transform_with_state_totals(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotals()
+
+
+def transform_with_state_totals(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-stateful API (StatefulProcessor + typed state
+    handles) that supersedes ``applyInPandasWithState``.
+
+    Each micro-batch updates a per-key ValueState holding (count,
+    fixed-point units) and emits the key's new running totals (Update
+    semantics). Totals accumulate as integers so the result is identical
+    under any micro-batch partitioning of the input — the same
+    order-independence contract as the batch aggregates. State is one
+    tuple per user: keyed-state size is O(population), not O(events).
+    """
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
+        statefulProcessor=make_running_totals_processor(),
         outputStructType=TOTALS_SCHEMA,
         outputMode="Update",
         timeMode="None",

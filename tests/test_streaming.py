@@ -275,3 +275,75 @@ def test_transform_with_state_totals_gated(spark, sf_dir):
 
     got = q146_transform_with_state_totals(spark, sf_dir).limit(3).collect()
     assert all(r["n_events"] >= 1 for r in got)
+
+
+class _FakeValueState:
+    """Dict-free stand-in for the JVM-backed ValueState of ONE key: the
+    contract surface the StatefulProcessor actually touches
+    (exists/get/update)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self, store: dict, key):
+        self._store, self._key = store, key
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        return self._store.setdefault((self._key, name), _FakeValueState())
+
+
+def test_running_totals_processor_semantics(spark, sf_dir):
+    """Runnable assertion for the transformWithState path in THIS container:
+    drive the exact ``RunningTotals`` StatefulProcessor class (the one
+    ``transformWithStateInPandas`` would ship to executors) through a fake
+    state handle, replaying the sf events in several different micro-batch
+    partitionings, and require the final per-user emission to equal the
+    batch groupBy aggregate every time. The only piece NOT exercised is
+    the protobuf wire protocol to the JVM state server — which carries,
+    not computes, these values."""
+    import pandas as pd
+
+    from hive_feature_demo_spark import catalog
+    from hive_feature_demo_spark.streaming.ops import make_running_totals_processor
+
+    events = (
+        catalog.table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .toPandas()
+        .sort_values("user_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    expected = (
+        events.assign(units=(events["value"] * 100 + 0.5).apply(__import__("math").floor))
+        .groupby("user_id", sort=True)
+        .agg(n_events=("value", "size"), units=("units", "sum"))
+    )
+
+    for n_batches, order in [(1, 1), (3, 1), (7, -1)]:
+        store: dict = {}
+        final: dict = {}
+        # round-robin rows into micro-batches, optionally in reverse arrival order
+        batches = [events.iloc[i::n_batches] for i in range(n_batches)][::order]
+        for batch in batches:
+            for uid, pdf in batch.groupby("user_id"):
+                proc = make_running_totals_processor()
+                proc.init(_FakeHandle(store, uid))
+                (out,) = list(proc.handleInputRows((uid,), iter([pdf]), None))
+                proc.close()
+                final[uid] = out.iloc[0]
+        assert set(final) == set(expected.index)
+        for uid, row in expected.iterrows():
+            got = final[uid]
+            assert int(got["n_events"]) == int(row["n_events"])
+            assert got["total_value"] == pytest.approx(int(row["units"]) / 100.0, abs=0)
