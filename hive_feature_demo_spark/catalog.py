@@ -115,10 +115,11 @@ def register_hive_tables(
             f"CREATE TABLE IF NOT EXISTS {database}.{name} "
             f"USING PARQUET LOCATION '{path}'"
         )
-        # keep both registration paths schema-identical: nano-timestamp
-        # columns read as bigint (see _normalize) get a converting view on
-        # top of the raw external table, so spark.table("db.events").ts is
-        # a timestamp here exactly as in register_testdata
+        # keep both registration paths schema-identical: event-time columns
+        # stored as nanos-bigint or TIMESTAMP_NTZ (see _ts_convert_sql) get a
+        # converting view on top of the raw external table, so
+        # spark.table("db.events").ts is a session-zone timestamp here
+        # exactly as in register_testdata
         raw = spark.table(f"{database}.{name}")
         if _needs_normalize(raw):
             if not spark.catalog.tableExists(f"{database}.{name}_raw"):
@@ -127,10 +128,9 @@ def register_hive_tables(
                 )
             cols = []
             for field in raw.schema.fields:
-                if _is_nanos_field(field):
-                    cols.append(
-                        f"timestamp_micros({field.name} div 1000) AS {field.name}"
-                    )
+                expr = _ts_convert_sql(field)
+                if expr is not None:
+                    cols.append(f"{expr} AS {field.name}")
                 else:
                     cols.append(field.name)
             spark.sql(
@@ -146,6 +146,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(df)
 
 
+def _ts_convert_sql(field) -> str | None:
+    """SQL expression normalizing a stored event-time column to session-zone
+    TIMESTAMP, or None when the column needs no conversion.
+
+    The driver's testdata has shipped ``events.ts`` under different parquet
+    encodings across rounds — INT64 TIMESTAMP(NANOS) (read as bigint under
+    ``nanosAsLong``; round 1-2), plain ``timestamp[us]`` tz-naive (read as
+    TIMESTAMP_NTZ; round 3+) — so the catalog probes the type it actually
+    got and branches instead of hardcoding one encoding:
+
+    - bigint nanos -> ``timestamp_micros(x div 1000)`` (integer div: epoch
+      nanos ~1.8e18 exceed double's 2^53 mantissa; floor truncation matches
+      how DuckDB or any µs-native engine reads the same file);
+    - TIMESTAMP_NTZ -> ``cast(x as timestamp)`` — value-preserving because
+      the session zone is pinned UTC (``_RUNTIME_CONFS``);
+    - TIMESTAMP (tz-aware µs) -> already canonical, no-op.
+    """
+    md = field.metadata or {}
+    t = field.dataType.simpleString()
+    if bool(md.get("__nanos_as_long__")) or (field.name == "ts" and t == "bigint"):
+        return f"timestamp_micros({field.name} div 1000)"
+    if t == "timestamp_ntz":
+        return f"cast({field.name} as timestamp)"
+    return None
+
+
 def _is_nanos_field(field) -> bool:
     md = field.metadata or {}
     return bool(md.get("__nanos_as_long__")) or (
@@ -154,20 +180,23 @@ def _is_nanos_field(field) -> bool:
 
 
 def _needs_normalize(df: DataFrame) -> bool:
-    return any(_is_nanos_field(f) for f in df.schema.fields)
+    return any(_ts_convert_sql(f) is not None for f in df.schema.fields)
 
 
 def _normalize(df: DataFrame) -> DataFrame:
-    """Convert nanosecond-timestamp columns read as long (see session.py
-    ``nanosAsLong``) into microsecond timestamps, matching how DuckDB and
-    any µs-native engine sees the same file (floor truncation)."""
+    """Normalize every stored event-time encoding to session-zone TIMESTAMP
+    (see ``_ts_convert_sql`` for the supported encodings)."""
     for field in df.schema.fields:
-        if _is_nanos_field(field):
-            # integer div: epoch-nanos (~1.8e18) exceed double's 2^53 mantissa
-            df = df.withColumn(
-                field.name, F.expr(f"timestamp_micros({field.name} div 1000)")
-            )
+        expr = _ts_convert_sql(field)
+        if expr is not None:
+            df = df.withColumn(field.name, F.expr(expr))
     return df
+
+
+def normalize_event_times(df: DataFrame) -> DataFrame:
+    """Public alias of :func:`_normalize` for non-catalog readers (the
+    streaming file source probes the footer, then applies this)."""
+    return _normalize(df)
 
 
 def analyze_tables(

@@ -31,3 +31,18 @@ def months_since(date_col: Column | str, today: dt.date) -> Column:
     """Fractional months between ``today`` and ``date_col`` (days / 30.44)."""
     c = F.col(date_col) if isinstance(date_col, str) else date_col
     return F.datediff(F.lit(today), c) / F.lit(MONTH_DAYS)
+
+
+def epoch_micros(ts_col: Column | str) -> Column:
+    """Epoch microseconds of a timestamp column, NTZ-safe.
+
+    ``F.unix_micros`` rejects TIMESTAMP_NTZ outright (DATATYPE_MISMATCH).
+    With the session zone pinned to UTC (catalog._RUNTIME_CONFS) the
+    NTZ->TIMESTAMP cast is value-preserving and a no-op on columns already
+    TIMESTAMP, so this works under every events-ts encoding the catalog
+    normalizes. Prefer this over raw ``unix_micros`` for any gap/horizon
+    arithmetic on event time (``cast('long')`` is NOT a substitute: it
+    truncates to seconds and shifts session boundaries on sub-second gaps).
+    """
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return F.unix_micros(c.cast("timestamp"))

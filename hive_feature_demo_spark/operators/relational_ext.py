@@ -124,6 +124,10 @@ def global_rank(
     grid cell) degrades toward the single-partition sort and would need a
     finer/recursive grid at extreme scale.
     """
+    if not (0 < cells <= 65536):
+        # the per-cell counts round-trip through the driver; an unbounded
+        # grid would turn this bounded-state pattern into a driver OOM
+        raise ValueError(f"global_rank cells must be in (0, 65536], got {cells}")
     first = order_cols[0]
     vmin, vmax = df.agg(F.min(first), F.max(first)).collect()[0]
     if vmin is None or vmax == vmin:

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
 from hive_feature_demo_spark.functions.numeric import sql_round_det
+from hive_feature_demo_spark.functions.temporal import epoch_micros
 from hive_feature_demo_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -748,7 +749,7 @@ def q117_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
                 > 30 * 60 * 1_000_000
             ),
             1,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
 from hive_feature_demo_spark.functions.numeric import exact_sum, sql_exact_sum
+from hive_feature_demo_spark.functions.temporal import epoch_micros
 from hive_feature_demo_spark.plans.registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -141,9 +142,7 @@ def q42_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                # microsecond precision: cast('long') truncates to seconds
-                # and shifts session boundaries for sub-second gaps
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
                 > _GAP_MIN * 60 * 1_000_000
             ),
             1,
@@ -231,13 +230,18 @@ _STREAM_RUN_SEQ = iter(range(10**6))
 
 
 def _streamed_events(spark: SparkSession, sf_dir: str):
-    from hive_feature_demo_spark.streaming import ops as sops
+    # Probe the footer for the stored ts encoding (nanos-bigint vs µs-NTZ —
+    # it has shifted between rounds) and reuse the catalog's normalizer; a
+    # hardcoded LongType schema silently mis-scales µs-encoded files.
+    from hive_feature_demo_spark.catalog import normalize_event_times
 
-    return (
-        spark.readStream.schema(sops.EVENTS_RAW_SCHEMA)
+    probed = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
+    return normalize_event_times(
+        spark.readStream.schema(probed)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
 
 
@@ -578,13 +582,20 @@ def q130_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q131 — REAL session-window incremental run: F.session_window merges
 # events closer than the gap, session end = last event + gap, replayed
-# through the streaming engine in complete mode (no watermark needed; at
-# production scale use append + watermark so closed sessions finalize and
-# state stays bounded — q42's semantics). The oracle rebuilds sessions as
-# gaps-and-islands with the >= boundary Spark's exclusive window end
-# implies (an event exactly `gap` after its predecessor starts a NEW
-# session; verified no such tie exists at any shipped SF, so the chosen
-# strictness is still exercised-but-not-load-bearing).
+# through the streaming engine in watermarked APPEND mode — each session is
+# emitted exactly once when the watermark closes it, and its state is then
+# evicted. (Complete mode would re-emit every session each trigger: O(all
+# sessions ever) per micro-batch, a scale-killer at 100 TB.) To keep the
+# FULL oracle (all sessions, including those still open at end-of-input), a
+# far-future flush row from a sentinel user advances the watermark past
+# every real session's end before the replay finishes — the finite-replay
+# analogue of a stream that keeps flowing; the sentinel is filtered out
+# after the watermark operator, so it advances event time without joining
+# any session. The oracle rebuilds sessions as gaps-and-islands with the
+# >= boundary Spark's exclusive window end implies (an event exactly `gap`
+# after its predecessor starts a NEW session; verified no such tie exists
+# at any shipped SF, so the chosen strictness is still
+# exercised-but-not-load-bearing).
 # ---------------------------------------------------------------------------
 
 
@@ -618,13 +629,36 @@ def q130_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
 )
 def q131_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
     from hive_feature_demo_spark.streaming import ops as sops
 
     events = _streamed_events(spark, sf_dir)
+    # one driver-side scalar (parquet footer stats make this a metadata
+    # read): where to place the watermark-advancing flush row
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_dir = tempfile.mkdtemp(prefix="q131_flush_")
+    spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
+    flush_stream = spark.readStream.schema(
+        spark.read.parquet(flush_dir).schema
+    ).parquet(flush_dir)
+    # NOTE: no pre-aggregation filter on the sentinel — Catalyst pushes a
+    # deterministic predicate BELOW the EventTimeWatermark node, which
+    # removes the flush row before it registers in the watermark stats and
+    # silently withholds the final sessions (observed: exactly the session
+    # containing max(ts) went missing). The sentinel instead flows through
+    # the aggregation: its own session can never close (watermark stops at
+    # flush - delay < flush + gap), so append-mode never emits it; the
+    # batch-side filter below is belt-and-braces.
     agg = (
-        events.groupBy(
-            F.session_window("ts", f"{_GAP_MIN} minutes").alias("sw"), "user_id"
-        )
+        events.unionByName(flush_stream)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", f"{_GAP_MIN} minutes").alias("sw"), "user_id")
         .agg(F.count("*").alias("n_events"), exact_sum("value", "session_value"))
         .select(
             "user_id",
@@ -635,8 +669,12 @@ def q131_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     name = f"q131_out_{next(_STREAM_RUN_SEQ)}"
-    sops.run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name).orderBy("user_id", "session_start")
+    sops.run_to_memory(agg, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
 
 
 # ---------------------------------------------------------------------------

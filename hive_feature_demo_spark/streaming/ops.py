@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Schema of the events stream as stored (ts = epoch nanos, see catalog).
+#: Schema test fixtures write with (ts = epoch nanos as long). The stream
+#: reader itself no longer assumes this layout — it probes the footer.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -34,19 +35,26 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of events with ns->timestamp normalization.
+    """File-source stream of events normalized to session-zone timestamps.
 
     In production this is a Kafka source; the file source exercises the
     identical incremental semantics (micro-batches, watermark advance).
+
+    The stored ``ts`` encoding has varied (INT64 nanos vs ``timestamp[us]``
+    NTZ — see ``catalog._ts_convert_sql``), and a hardcoded read schema
+    silently corrupts values when the encoding shifts (µs interpreted as ns
+    lands every event in January 1970 with no error). So: one driver-side
+    batch probe of the parquet footer picks the schema, and the shared
+    catalog normalizer applies the matching conversion.
     """
-    from ..catalog import ensure_session_confs
+    from ..catalog import ensure_session_confs, normalize_event_times
 
     ensure_session_confs(spark)  # nanosAsLong etc. for externally-built sessions
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    probed = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_times(reader.parquet(path))
 
 
 def tumbling_counts(

@@ -201,6 +201,19 @@ def test_global_rank_matches_single_partition_window(spark):
     assert got == want
 
 
+def test_global_rank_rejects_unbounded_grid(spark):
+    """The per-cell counts are driver-collected; the grid size must stay
+    bounded or the bounded-state argument (VERDICT r3 item 8) is void."""
+    import pytest
+
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    for bad in (0, -5, 65537, 10**6):
+        with pytest.raises(ValueError, match="cells"):
+            global_rank(df, ["v", "id"], cells=bad)
+
+
 def test_global_rank_constant_column(spark):
     """All-equal order values collapse to one grid cell (vmin == vmax)."""
     from hive_feature_demo_spark.operators.relational_ext import global_rank
