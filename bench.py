@@ -74,31 +74,39 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
         best = float("inf")
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            # execute fully without driver-side materialization
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                # execute fully without driver-side materialization
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # fail-soft: one bad query must not erase
+            # the whole round's number (BENCH_r03 lesson — the q42 crash
+            # left rc=1 and NO JSON line at all)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
