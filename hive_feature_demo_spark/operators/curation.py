@@ -168,6 +168,89 @@ def quality_rules(
     )
 
 
+def ngram_repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_bigram_pct: int = 20,
+    dup_trigram_pct: int = 30,
+) -> DataFrame:
+    """Gopher-style intra-document n-gram repetition filters: the fraction
+    of bigram instances taken by the single most frequent bigram, and the
+    fraction of trigram instances that are duplicated (count > 1) — the
+    two rules that catch boilerplate/template spam which single-word
+    repetition (``quality_rules``'s ``ok_no_repeat``) misses.
+
+    All outputs are INTEGER counts plus a keep flag decided by integer
+    cross-multiplication (``top_n * 100 <= pct * n``), so results are
+    exactly reproducible in any engine — no float thresholds to flake the
+    oracle hash.
+
+    Scale: ONE scan of the text and NO join back to the doc table —
+    bigram and trigram arrays are built narrow (shifted-copy zips),
+    tagged, concatenated, and exploded ONCE (``explode_outer`` keeps
+    gram-less short docs as a null-kind row); ``n_words`` rides along as a
+    functionally-dependent grouping key, so the per-(doc, kind, gram)
+    count and the rollups are plain partial-agg shuffles over
+    high-cardinality keys (no hot keys: a doc's grams spread over as many
+    keys as it has distinct grams, and no doc-table-sized broadcast/SMJ
+    that a join-back design would need). The O(n_words²) array-only form
+    quality_rules uses for its single-word rule would be quadratic per
+    row on long documents; explode+groupBy is the 100 TB formulation.
+    """
+    from hive_feature_demo_spark.operators.textops import word_ngrams
+
+    toks = tokens(text_col)
+    tagged = F.concat(
+        F.transform(
+            word_ngrams(toks, 2),
+            lambda g: F.struct(F.lit("bi").alias("kind"), g.alias("gram")),
+        ),
+        F.transform(
+            word_ngrams(toks, 3),
+            lambda g: F.struct(F.lit("tri").alias("kind"), g.alias("gram")),
+        ),
+    )
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_words"), tagged.alias("_g")
+    )
+    per_kind = (
+        base.select(id_col, "n_words", F.explode_outer("_g").alias("g"))
+        .groupBy(
+            id_col,
+            "n_words",
+            F.col("g.kind").alias("kind"),
+            F.col("g.gram").alias("gram"),
+        )
+        .count()
+        .groupBy(id_col, "n_words", "kind")
+        .agg(
+            F.sum("count").alias("n"),
+            F.max("count").alias("top"),
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup"),
+        )
+    )
+    out = per_kind.groupBy(id_col, "n_words").agg(
+        F.coalesce(F.sum(F.when(F.col("kind") == "bi", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "bi", F.col("top"))), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_n"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "tri", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_trigrams"),
+        F.coalesce(F.sum(F.when(F.col("kind") == "tri", F.col("dup"))), F.lit(0))
+        .cast("long")
+        .alias("dup_trigram_n"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_bigram_n") * 100 <= F.lit(top_bigram_pct) * F.col("n_bigrams"))
+        & (F.col("dup_trigram_n") * 100 <= F.lit(dup_trigram_pct) * F.col("n_trigrams")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII masking
 # ---------------------------------------------------------------------------

@@ -129,6 +129,19 @@ def rolling_hash(toks: Column) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """ALL word n-grams of a token array, duplicates preserved, in order.
+
+    The non-distinct sibling of :func:`word_shingles` — repetition metrics
+    need the multiplicity that dedup shingling deliberately throws away.
+    Same shifted-copies zip construction (three bulk array copies, no
+    per-position slice)."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
+    grams = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)]))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array (for MinHash/Jaccard).
 

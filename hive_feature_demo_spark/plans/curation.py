@@ -381,3 +381,64 @@ def q151_domain_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — Gopher-style n-gram repetition filters: top-bigram instance
+# fraction and duplicated-trigram instance fraction per document, with an
+# integer-arithmetic keep decision (top_n * 100 <= pct * n). Catches the
+# boilerplate/template spam that single-word repetition (q139's
+# ok_no_repeat) misses. One text scan: bigrams + trigrams are built as
+# shifted-copy zips, tagged, and exploded once; counting is two partial-agg
+# shuffles over high-cardinality (doc, kind, gram) keys — the 100 TB
+# formulation (the array-only alternative is O(n_words^2) per row).
+# Rules after Rae et al. 2021 (Gopher), table A1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q156_ngram_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, 'bi' AS kind,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM t
+      UNION ALL
+      SELECT doc_id, 'tri',
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      FROM t
+    ), c AS (
+      SELECT doc_id, kind, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3
+    ), s AS (
+      SELECT doc_id, kind, SUM(cnt) AS n, MAX(cnt) AS top,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+      FROM c GROUP BY 1, 2
+    ), p AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN kind = 'bi' THEN n END), 0) AS n_bigrams,
+             COALESCE(SUM(CASE WHEN kind = 'bi' THEN top END), 0) AS top_bigram_n,
+             COALESCE(SUM(CASE WHEN kind = 'tri' THEN n END), 0) AS n_trigrams,
+             COALESCE(SUM(CASE WHEN kind = 'tri' THEN dup END), 0) AS dup_trigram_n
+      FROM s GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(p.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CAST(COALESCE(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(COALESCE(p.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n,
+           (COALESCE(p.top_bigram_n, 0) * 100 <= 20 * COALESCE(p.n_bigrams, 0)
+            AND COALESCE(p.dup_trigram_n, 0) * 100 <= 30 * COALESCE(p.n_trigrams, 0))
+             AS keep
+    FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+    ORDER BY t.doc_id
+    """,
+    category="curation",
+)
+def q156_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return curation.ngram_repetition_stats(docs).orderBy("doc_id")

@@ -984,3 +984,53 @@ def q133_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — near-dup-aware diversity downsampling: cap how many documents any
+# one SimHash-prefix bucket (first 16 fingerprint bits) contributes to the
+# kept corpus, with deterministic survivors (lowest doc_id). Bounds the
+# contribution of over-represented content regions WITHOUT enumerating
+# near-dup pairs or building clusters: one fingerprint pass (q47's chain)
+# + one window shuffle partitioned by bucket. The cheap first line of
+# defense before MinHash-LSH pair dedup at 100 TB — O(corpus), not
+# O(candidate pairs), and the per-bucket window never concentrates (the
+# 16-bit prefix spreads documents over 65k partitions; a pathological
+# single-bucket corpus degrades to one partition's sort, the usual skew
+# caveat).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q157_simhash_diversity_downsample",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    b AS (
+      SELECT doc_id, substring(simhash, 1, 4) AS bucket FROM fp
+    ), r AS (
+      SELECT bucket, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY bucket) AS bucket_size
+      FROM b
+    )
+    SELECT bucket, doc_id, CAST(rk AS BIGINT) AS rk,
+           CAST(bucket_size AS BIGINT) AS bucket_size
+    FROM r WHERE rk <= 3
+    ORDER BY bucket, doc_id
+    """,
+    category="llmops",
+)
+def q157_simhash_diversity_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    fp = dedup.simhash64(docs, "doc_id", "text")
+    b = fp.select("doc_id", F.substring("simhash", 1, 4).alias("bucket"))
+    w = Window.partitionBy("bucket")
+    r = b.select(
+        "bucket",
+        "doc_id",
+        F.row_number().over(w.orderBy("doc_id")).cast("long").alias("rk"),
+        F.count("*").over(w).cast("long").alias("bucket_size"),
+    )
+    return r.filter(F.col("rk") <= 3).orderBy("bucket", "doc_id")

@@ -115,3 +115,44 @@ def test_quality_rules_flags(spark):
     assert flags[1]["keep"]
     assert not flags[2]["ok_n_words"] and not flags[2]["keep"]
     assert not flags[3]["ok_no_repeat"] and not flags[3]["keep"]
+
+
+def test_word_ngrams_multiplicity_and_edges(spark):
+    from hive_feature_demo_spark.operators.textops import word_ngrams, tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x"), (3, "p q")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["bi"], r["tri"])
+        for r in df.select(
+            "doc_id",
+            word_ngrams(tokens("text"), 2).alias("bi"),
+            word_ngrams(tokens("text"), 3).alias("tri"),
+        ).collect()
+    }
+    # duplicates preserved, in order (unlike word_shingles' distinct set)
+    assert got[1] == (["a b", "b a", "a b", "b a"], ["a b a", "b a b", "a b a"])
+    assert got[2] == ([], [])  # shorter than n -> empty, not null
+    assert got[3] == (["p q"], [])
+
+
+def test_ngram_repetition_stats_keep_rule(spark):
+    template = " ".join(["buy now click here"] * 25)  # one bigram dominates
+    varied = " ".join(f"w{i} x{i}" for i in range(50))  # all grams unique
+    df = spark.createDataFrame(
+        [(1, template), (2, varied), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r for r in curation.ngram_repetition_stats(df).collect()
+    }
+    t = rows[1]
+    assert t["n_words"] == 100 and t["n_bigrams"] == 99 and t["n_trigrams"] == 98
+    # 'now click' and 'click here' and 'here buy' / 'buy now' all repeat 24-25x:
+    # top bigram takes >20% of instances and all trigram instances duplicate
+    assert t["top_bigram_n"] >= 25 and t["dup_trigram_n"] == 98
+    assert not t["keep"]
+    v = rows[2]
+    assert v["top_bigram_n"] == 1 and v["dup_trigram_n"] == 0 and v["keep"]
+    s = rows[3]  # 1-word doc: no grams, vacuously kept
+    assert (s["n_bigrams"], s["n_trigrams"], s["keep"]) == (0, 0, True)
