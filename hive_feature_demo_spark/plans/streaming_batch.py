@@ -580,6 +580,57 @@ def q130_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q158 — REAL stream-stream LEFT SEMI join run: each converted click emits
+# exactly once (click columns only) at the micro-batch where its first
+# in-horizon purchase arrives. Unlike q130's leftOuter, the output is
+# watermark-INDEPENDENT: unmatched clicks are evicted silently (never
+# emitted), and matched clicks emit at match time, not at eviction — so
+# the oracle is a plain EXISTS with no final-watermark predicate. The
+# scale story matches the inner join: both sides' state bounded by
+# watermark + horizon, exactly-once left emission tracked in the state
+# store.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q158_stream_stream_semi",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.c_user AS user_id, c.click_id,
+           strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts
+    FROM c
+    WHERE EXISTS (
+            SELECT 1 FROM p WHERE c.c_user = p.p_user
+              AND p.purchase_ts > c.click_ts
+              AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+    ORDER BY user_id, click_id
+    """,
+    category="streaming",
+)
+def q158_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    joined = sops.click_purchase_join(
+        events, horizon="30 minutes", watermark="10 minutes", how="leftSemi"
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+    )
+    name = f"q158_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
 # q131 — REAL session-window incremental run: F.session_window merges
 # events closer than the gap, session end = last event + gap, replayed
 # through the streaming engine in watermarked APPEND mode — each session is

@@ -190,6 +190,14 @@ def click_purchase_join(
     end-of-input are withheld (they could still match), which is the
     correct incremental semantics and exactly what the q130 oracle's
     eviction predicate replays.
+
+    ``how="leftSemi"`` emits each CONVERTED click exactly once (click
+    columns only), at the micro-batch where its first matching purchase
+    arrives — "did this click convert?" without purchase payload
+    duplication when several purchases match. Unmatched clicks are
+    silently evicted at the watermark, never emitted, so unlike leftOuter
+    the output is watermark-independent: all matched clicks appear
+    regardless of where the watermark stops at end-of-input.
     """
     clicks = (
         events.filter(F.col("event_type") == "click")
@@ -215,7 +223,12 @@ def click_purchase_join(
         & (F.col("purchase_ts") > F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
-    return clicks.join(purchases, cond, how).select(
+    joined = clicks.join(purchases, cond, how)
+    if how == "leftSemi":
+        return joined.select(
+            F.col("c_user").alias("user_id"), "click_id", "click_ts"
+        )
+    return joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",
         "purchase_id",

@@ -178,6 +178,36 @@ def test_stream_stream_join(spark, tmp_path):
     assert rows[0]["purchase_value"] == 50.0
 
 
+def test_stream_stream_semi_join(spark, tmp_path):
+    """LEFT SEMI: a converted click emits exactly once (click columns
+    only) even when several purchases match; unconverted clicks never
+    emit. Matches arriving in a LATER micro-batch still trigger emission
+    (the click waits in state until matched or evicted)."""
+    batches = [
+        [
+            (1, _ns(0), 1, "click", 0.0, "{}"),
+            (2, _ns(5), 1, "purchase", 50.0, "{}"),   # match 1 for click 1
+            (5, _ns(3), 2, "click", 0.0, "{}"),       # user 2: no purchase
+        ],
+        [
+            (3, _ns(10), 1, "purchase", 60.0, "{}"),  # match 2: must NOT re-emit
+            (6, _ns(1), 3, "click", 0.0, "{}"),
+        ],
+        [(7, _ns(20), 3, "purchase", 10.0, "{}")],    # cross-batch match
+        [(9, _ns(600), 4, "view", 1.0, "{}")],        # flush watermark
+    ]
+    path = _stream_dir(spark, tmp_path, batches)
+    stream = ops.events_stream(spark, path, max_files_per_trigger=1)
+    joined = ops.click_purchase_join(
+        stream, horizon="30 minutes", watermark="10 minutes", how="leftSemi"
+    )
+    ops.run_to_memory(joined, "t_semi", output_mode="append")
+    rows = sorted(
+        (r["user_id"], r["click_id"]) for r in spark.table("t_semi").collect()
+    )
+    assert rows == [(1, 1), (3, 6)]
+
+
 def test_running_user_totals_stateful(spark, tmp_path):
     """applyInPandasWithState keeps per-user running totals across batches,
     emitting one snapshot per touched user per batch."""
