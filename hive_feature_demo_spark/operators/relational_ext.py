@@ -7,6 +7,9 @@
   inequality-join plan is a BroadcastNestedLoop/cartesian per key).
 - :func:`range_join` — theta join of a fact against small interval
   dimensions; broadcast so the non-equi condition never shuffles the fact.
+- :func:`instant_interval_join` — the both-sides-big variant: grid-cell
+  binning turns containment into an equi-join (shuffled hash join), with
+  the exact predicate filtering candidates.
 """
 
 from __future__ import annotations
@@ -95,6 +98,51 @@ def range_join(
     (half-open: lo <= value < hi)."""
     return fact.join(
         F.broadcast(intervals), (value >= F.col(lo)) & (value < F.col(hi)), "left"
+    )
+
+
+def instant_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str,
+    lo: str,
+    hi: str,
+    cell_seconds: int = 3600,
+) -> DataFrame:
+    """Join each point row to every interval CONTAINING its instant
+    (``lo <= t <= hi``, inclusive) with BOTH sides arbitrarily large.
+
+    :func:`range_join` broadcasts the interval side — correct only while
+    the intervals fit in one executor's memory. This is the
+    both-sides-big formulation: time is binned into fixed grid cells;
+    each interval explodes into the cells it covers (rows ∝ span /
+    cell_seconds), each point maps to exactly ONE cell, and the join is a
+    plain equi-join on the cell id that Catalyst executes as a shuffled
+    hash join — no BroadcastNestedLoop, no cartesian. The exact
+    containment predicate then filters the candidates. Because a point
+    lives in a single cell, each covering interval is matched exactly
+    once: no post-join dedup.
+
+    Pick ``cell_seconds`` near the median interval span: row inflation on
+    the interval side is ~(span/cell + 2), while a too-fine grid multiplies
+    the exploded build side. Skewed hot cells shuffle like any hot key —
+    AQE skew-join splits them.
+    """
+    pt = F.col(point_time)
+    cell = F.floor(F.unix_timestamp(pt) / cell_seconds).cast("long")
+    p = points.withColumn("_cell", cell)
+    span = intervals.select(
+        "*",
+        F.floor(F.unix_timestamp(F.col(lo)) / cell_seconds).cast("long").alias("_c0"),
+        F.floor(F.unix_timestamp(F.col(hi)) / cell_seconds).cast("long").alias("_c1"),
+    )
+    i = span.select(
+        "*", F.explode(F.sequence(F.col("_c0"), F.col("_c1"))).alias("_cell")
+    ).drop("_c0", "_c1")
+    return (
+        p.join(i, "_cell", "inner")
+        .filter((F.col(lo) <= pt) & (pt <= F.col(hi)))
+        .drop("_cell")
     )
 
 

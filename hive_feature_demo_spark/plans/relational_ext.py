@@ -472,3 +472,92 @@ def q144_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — instant-in-interval join with BOTH sides large: for every event,
+# how many user sessions (gaps-and-islands, q42 bounds) contain its
+# instant, total and from other users. range_join (q51) broadcasts the
+# interval side and dies when intervals don't fit one executor; here time
+# is binned into 1-hour grid cells, each session explodes into the cells
+# it covers, each event maps to exactly ONE cell, and the join is a plain
+# shuffled-hash equi-join on the cell id (no BroadcastNestedLoop, no
+# cartesian, no post-join dedup) with the exact containment predicate
+# filtering candidates — the 100 TB interval-join formulation
+# (operators/relational_ext.instant_interval_join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q159_concurrent_sessions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), s AS (
+      SELECT user_id AS s_user, session_seq,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT e.event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_concurrent,
+           CAST(SUM(CASE WHEN s.s_user <> e.user_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_other_users
+    FROM events e JOIN s ON e.ts BETWEEN s.s_start AND s.s_end
+    GROUP BY e.event_id
+    ORDER BY e.event_id
+    """,
+    category="relational",
+)
+def q159_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+    from hive_feature_demo_spark.operators.relational_ext import instant_interval_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = (
+        marked.withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy(F.col("user_id").alias("s_user"), "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    points = e.select("event_id", "user_id", "ts")
+    joined = instant_interval_join(
+        points, sessions, "ts", "s_start", "s_end", cell_seconds=3600
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_concurrent"),
+            F.sum((F.col("s_user") != F.col("user_id")).cast("long")).alias(
+                "n_other_users"
+            ),
+        )
+        .orderBy("event_id")
+    )

@@ -224,3 +224,46 @@ def test_global_rank_constant_column(spark):
         for r in global_rank(df, ["v", "id"], rank_col="r").collect()
     )
     assert got == [(i, i + 1) for i in range(5)]
+
+
+def test_instant_interval_join_exact_and_no_nested_loop(spark):
+    """Grid-cell interval join: inclusive bounds, multi-cell spans, cell
+    boundaries — and the physical plan must contain an EQUI join, never
+    BroadcastNestedLoopJoin/CartesianProduct (the operator's reason to
+    exist)."""
+    import datetime as dt
+
+    from hive_feature_demo_spark.operators.relational_ext import instant_interval_join
+
+    T = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def at(minutes):
+        return T + dt.timedelta(minutes=minutes)
+
+    points = spark.createDataFrame(
+        [(1, at(0)), (2, at(59)), (3, at(60)), (4, at(200)), (5, at(61))],
+        "pid long, t timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, at(0), at(60)),     # spans 2 cells; inclusive both ends
+            (11, at(60), at(60)),    # zero-width on a cell boundary
+            (12, at(30), at(250)),   # spans 5 cells
+        ],
+        "iid long, lo timestamp, hi timestamp",
+    )
+    j = instant_interval_join(points, intervals, "t", "lo", "hi", cell_seconds=3600)
+    got = sorted((r["pid"], r["iid"]) for r in j.collect())
+    assert got == [
+        (1, 10),           # t == lo inclusive
+        (2, 10),
+        (2, 12),
+        (3, 10),           # t == hi inclusive
+        (3, 11),           # zero-width interval matches its instant
+        (3, 12),
+        (4, 12),
+        (5, 12),
+    ]
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # an equi join strategy was chosen
