@@ -146,6 +146,57 @@ def instant_interval_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    cell_seconds: int = 3600,
+) -> DataFrame:
+    """Join every left interval to every right interval it OVERLAPS
+    (``l_lo <= r_hi AND r_lo <= l_hi``, inclusive) with both sides large.
+
+    Same grid-cell strategy as :func:`instant_interval_join`, plus the
+    first-common-cell trick: two overlapping intervals share every cell
+    their intersection touches, which would duplicate the pair once per
+    shared cell — so the join keeps a candidate only in the FIRST shared
+    cell, ``max(left start-cell, right start-cell)``. Every overlapping
+    pair survives exactly once (its intersection starts in that cell) and
+    no distinct/dedup shuffle is needed. The pair-level filter then
+    applies the exact overlap predicate.
+
+    Left/right column names must not collide (alias beforehand).
+    """
+    def cells(df, lo, hi, c0):
+        return df.select(
+            "*",
+            F.floor(F.unix_timestamp(F.col(lo)) / cell_seconds)
+            .cast("long")
+            .alias(c0),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.col(c0),
+                    F.floor(F.unix_timestamp(F.col(hi)) / cell_seconds).cast("long"),
+                )
+            ).alias("_cell"),
+        )
+
+    lc = cells(left, l_lo, l_hi, "_lc0")
+    rc = cells(right, r_lo, r_hi, "_rc0")
+    return (
+        lc.join(rc, "_cell", "inner")
+        .filter(F.col("_cell") == F.greatest(F.col("_lc0"), F.col("_rc0")))
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+        )
+        .drop("_cell", "_lc0", "_rc0")
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],

@@ -561,3 +561,95 @@ def q159_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — interval-interval OVERLAP join with both sides large: pairs of
+# users whose sessions (q42 bounds) overlap in time, with pair counts.
+# Extends q159's grid-cell binning with the first-common-cell trick:
+# overlapping intervals share every cell their intersection touches, so a
+# naive cell equi-join duplicates each pair once per shared cell; keeping
+# a candidate only where cell == max(both start-cells) makes every
+# overlapping pair survive exactly once — NO distinct/dedup shuffle. The
+# self-join is u1 < u2 (cross-user, unordered pairs). At 100 TB this is
+# the co-presence/concurrency primitive (ad attribution windows, fraud
+# co-session detection) that a theta join can't plan without a cartesian.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q160_overlapping_session_pairs",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), s AS (
+      SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="relational",
+)
+def q160_overlapping_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+    from hive_feature_demo_spark.operators.relational_ext import interval_overlap_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = (
+        marked.withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    a = sessions.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+    )
+    b = sessions.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", cell_seconds=3600
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )

@@ -267,3 +267,37 @@ def test_instant_interval_join_exact_and_no_nested_loop(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Join" in plan  # an equi join strategy was chosen
+
+
+def test_interval_overlap_join_exact_once_per_pair(spark):
+    """First-common-cell trick: a pair overlapping across MANY shared grid
+    cells must appear exactly once, inclusive boundary-touch counts as
+    overlap, and disjoint intervals never match."""
+    import datetime as dt
+
+    from hive_feature_demo_spark.operators.relational_ext import interval_overlap_join
+
+    T = dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def at(minutes):
+        return T + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, at(0), at(600)), (2, at(0), at(10)), (3, at(1000), at(1010))],
+        "lid long, a_lo timestamp, a_hi timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, at(30), at(590)),   # inside lid=1: shares ~10 hourly cells
+            (11, at(10), at(20)),    # touches lid=2 at exactly at(10)
+            (12, at(700), at(800)),  # disjoint from everything
+        ],
+        "rid long, b_lo timestamp, b_hi timestamp",
+    )
+    j = interval_overlap_join(
+        left, right, "a_lo", "a_hi", "b_lo", "b_hi", cell_seconds=3600
+    )
+    got = sorted((r["lid"], r["rid"]) for r in j.collect())
+    assert got == [(1, 10), (1, 11), (2, 11)]
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
