@@ -260,6 +260,64 @@ def global_rank(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_before",
+    cells: int = 1024,
+) -> DataFrame:
+    """Exclusive global prefix sum of ``value_col`` over a total order
+    WITHOUT a single-partition window — ``out_col`` = sum of the value
+    over all rows strictly before this one in ``order_cols`` order.
+
+    Same bounded-state strategy as :func:`global_rank` (which is this
+    operator with value ≡ 1): rows bucket on a deterministic value grid
+    over the FIRST order column, an ordinary partitioned window computes
+    the within-cell running sum, and each cell shifts by the total of all
+    prior cells — ≤ ``cells`` scalars through the driver. First order
+    column must be numeric and reasonably spread (a hash value is ideal);
+    ``order_cols`` must be a unique key.
+    """
+    if not (0 < cells <= 65536):
+        raise ValueError(f"global_cumsum cells must be in (0, 65536], got {cells}")
+    first = order_cols[0]
+    vmin, vmax = df.agg(F.min(first), F.max(first)).collect()[0]
+    if vmin is None or vmax == vmin:
+        cell = F.lit(0)
+    else:
+        step = (vmax - vmin) / float(cells)
+        cell = F.least(
+            F.lit(cells - 1),
+            F.greatest(F.lit(0), F.floor((F.col(first) - F.lit(vmin)) / F.lit(step))),
+        ).cast("int")
+    w = Window.partitionBy("_cell").orderBy(*[F.asc(c) for c in order_cols])
+    local = df.withColumn("_cell", cell).withColumn(
+        "_lcum",
+        F.sum(F.col(value_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    totals = dict(
+        local.groupBy("_cell")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )  # <= cells rows — bounded driver state
+    offsets, acc = {}, 0
+    for c in sorted(totals):
+        offsets[c] = acc
+        acc += int(totals[c])
+    off_df = df.sparkSession.createDataFrame(
+        [(int(c), int(o)) for c, o in offsets.items()], "_cell int, _off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "_cell")
+        .withColumn(
+            out_col,
+            (F.coalesce(F.col("_lcum"), F.lit(0)) + F.col("_off")).cast("long"),
+        )
+        .drop("_cell", "_lcum", "_off")
+    )
+
+
 def ntile_from_rank(rank: Column, n_rows: int, buckets: int) -> Column:
     """ANSI NTILE(buckets) from a precomputed global rank: the first
     ``n_rows % buckets`` buckets hold ``n_rows // buckets + 1`` rows, the

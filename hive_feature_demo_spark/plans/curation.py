@@ -442,3 +442,74 @@ def q151_domain_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q156_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return curation.ngram_repetition_stats(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q161 — PPS systematic token sampling: draw ~k documents with probability
+# proportional to token count, deterministically and in EXACT integer
+# arithmetic (no rand(), no transcendental keys that could flake a hash
+# compare). Docs are laid on a line in md5-hash order, each owning a
+# segment equal to its token count; a boundary grid of k equal segments
+# selects every doc whose span crosses a boundary (multiplicity = number
+# of boundaries crossed — oversized docs can be drawn more than once, the
+# standard PPS semantics). The global exclusive prefix sum comes from
+# operators/relational_ext.global_cumsum — the bounded-driver-state grid
+# pattern (global_rank's sibling), never a single-partition window: the
+# token-budget downsampling primitive that complements q142's per-source
+# mixture rates with corpus-wide size-proportional selection.
+# ---------------------------------------------------------------------------
+
+_H8_DOC = sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", "1", 8)
+_PPS_K = 50
+
+
+@register(
+    "q161_pps_token_sample",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_H8_DOC} AS h,
+             CAST({_SQL_NWORDTOK} AS BIGINT) AS wt
+      FROM documents
+      WHERE {_SQL_NWORDTOK} > 0
+    ), c AS (
+      SELECT doc_id, wt,
+             COALESCE(SUM(wt) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+             SUM(wt) OVER () AS total_w
+      FROM base
+    )
+    SELECT doc_id, wt,
+           CAST(({_PPS_K} * (cum_before + wt)) // total_w
+                - ({_PPS_K} * cum_before) // total_w AS BIGINT) AS multiplicity
+    FROM c
+    WHERE ({_PPS_K} * (cum_before + wt)) // total_w
+          - ({_PPS_K} * cum_before) // total_w > 0
+    ORDER BY doc_id
+    """,
+    category="curation",
+)
+def q161_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.relational_ext import global_cumsum
+
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    wt = F.size(word_tokens_regex("text")).cast("long")
+    base = docs.select(
+        "doc_id", h.alias("h"), wt.alias("wt")
+    ).filter(F.col("wt") > 0)
+    cum = global_cumsum(base, ["h", "doc_id"], "wt", "cum_before")
+    total = base.agg(F.sum("wt").alias("total_w"))
+    sel = (
+        cum.crossJoin(F.broadcast(total))
+        .withColumn(
+            "multiplicity",
+            F.expr(
+                f"(({_PPS_K} * (cum_before + wt)) div total_w)"
+                f" - (({_PPS_K} * cum_before) div total_w)"
+            ).cast("long"),
+        )
+        .filter(F.col("multiplicity") > 0)
+    )
+    return sel.select("doc_id", "wt", "multiplicity").orderBy("doc_id")

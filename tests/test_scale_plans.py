@@ -301,3 +301,42 @@ def test_interval_overlap_join_exact_once_per_pair(spark):
     assert got == [(1, 10), (1, 11), (2, 11)]
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """Bucketed exclusive prefix sum == textbook unpartitioned window, over
+    ties/negatives/zeros; and the grid-size guard holds."""
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.relational_ext import global_cumsum
+
+    rows = [(i, float(v), (i * 7) % 5 + 1) for i, v in
+            enumerate([5, -3, 5, 0, 2, 2, 2, 9, -3, 7])]
+    df = spark.createDataFrame(rows, "id long, v double, w long").repartition(7)
+    got = {
+        r["id"]: r["cum_before"]
+        for r in global_cumsum(df, ["v", "id"], "w", cells=4).collect()
+    }
+    want = {
+        r["id"]: r["c"] or 0
+        for r in df.withColumn(
+            "c",
+            F.sum("w").over(
+                Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="cells"):
+        global_cumsum(df, ["v", "id"], "w", cells=0)
+
+
+def test_pps_sample_invariants(spark, sf_dir):
+    """PPS systematic sampling: total multiplicity == k exactly (the grid
+    has k boundaries), and selection probability is size-biased — every
+    doc with wt >= total/k MUST be selected."""
+    from hive_feature_demo_spark.plans.curation import q161_pps_token_sample, _PPS_K
+
+    rows = q161_pps_token_sample(spark, sf_dir).collect()
+    assert sum(r["multiplicity"] for r in rows) == _PPS_K
+    assert 0 < len(rows) <= _PPS_K
