@@ -653,3 +653,128 @@ def q160_overlapping_session_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_overlaps"))
         .orderBy("user_a", "user_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — deterministic integer PageRank over the session-overlap graph
+# (q160's edges, symmetrized; weight = overlap count): the iterative-
+# algorithm family beyond connected components (q86/q127). Floating-point
+# PageRank is NOT reproducible across engines (neighbor sums are
+# order-dependent in IEEE arithmetic), so ranks are fixed-point integers
+# with integer division at every step:
+#
+#   inflow(v) = SUM_u (r(u) * w(u,v)) div tot(u)
+#   r'(v)     = (15 * SCALE) div 100 + (85 * inflow(v)) div 100
+#
+# — every operation exact, any summation order, any engine. 5 unrolled
+# iterations (the oracle builds the same 5 CTE stages). Scale shape per
+# iteration: one broadcast-or-shuffle join of ranks to edges + one
+# partial-agg shuffle on the destination key — the standard distributed
+# power-iteration step; edges are materialized once and reused.
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000
+_PR_ITERS = 5
+
+
+def _pr_oracle() -> str:
+    sessions = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), s AS (
+      SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    ), pairs AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS w
+      FROM s a JOIN s b
+        ON a.user_id < b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT ua AS src, ub AS dst, w FROM pairs
+      UNION ALL
+      SELECT ub AS src, ua AS dst, w FROM pairs
+    ), tot AS (
+      SELECT src, SUM(w) AS tw FROM edges GROUP BY src
+    ), e AS (
+      SELECT edges.src, edges.dst, edges.w, tot.tw FROM edges JOIN tot USING (src)
+    ), nodes AS (
+      SELECT DISTINCT user_id AS v FROM events
+    ), r0 AS (
+      SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes
+    )"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(f""", r{i + 1} AS (
+      SELECT n.v,
+             CAST((15 * 1000000) // 100
+                  + (85 * COALESCE(f.inflow, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS v, SUM((r{i}.r * e.w) // e.tw) AS inflow
+        FROM e JOIN r{i} ON e.src = r{i}.v
+        GROUP BY e.dst
+      ) f ON n.v = f.v
+    )""")
+    return (
+        sessions
+        + "".join(steps)
+        + f"""
+    SELECT v AS user_id, r AS rank_units FROM r{_PR_ITERS}
+    ORDER BY user_id
+    """
+    )
+
+
+@register("q162_session_graph_pagerank", oracle=_pr_oracle(), category="relational")
+def q162_session_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.plans.relational_ext import (
+        q160_overlapping_session_pairs,
+    )
+
+    pairs = q160_overlapping_session_pairs(spark, sf_dir).select(
+        F.col("user_a").alias("ua"), F.col("user_b").alias("ub"),
+        F.col("n_overlaps").alias("w"),
+    )
+    edges = pairs.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst"), "w"
+    ).unionByName(
+        pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"), "w")
+    )
+    tot = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    e = edges.join(tot, "src").localCheckpoint(eager=True)  # materialize once
+    nodes = (
+        table(spark, sf_dir, "events").select(F.col("user_id").alias("v")).distinct()
+    )
+    r = nodes.withColumn("r", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            e.join(r, e.src == r.v)
+            .select("dst", F.expr("(r * w) div tw").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        r = (
+            nodes.join(inflow, nodes.v == inflow.dst, "left")
+            .select(
+                "v",
+                F.expr(
+                    f"CAST((15 * {_PR_SCALE}) div 100"
+                    " + (85 * coalesce(inflow, 0)) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("v").alias("user_id"), F.col("r").alias("rank_units")).orderBy(
+        "user_id"
+    )
