@@ -318,3 +318,53 @@ def q145_dpp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — ORC round trip: the Hive-native columnar format (the reference's
+# ecosystem default; BASELINE "Spark SQL reading Hive tables"). Lineitem
+# is written ORC with zlib + dictionary encoding, read back fresh with a
+# pushed predicate (ORC reader supports predicate pushdown + column
+# pruning like parquet), and aggregated; the oracle aggregates the
+# original parquet directly, so a hash match proves the parquet->ORC->read
+# conversion is value-lossless across every column type it touches
+# (decimal-scaled doubles, dates, strings). Timestamp columns are the
+# known cross-format hazard — events.ts round-trips through ORC's
+# different epoch encoding in the test suite, not here, to keep this
+# oracle type-simple.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q163_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {sql_exact_sum_fixed('l_extendedprice', 2)} AS total_price,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    category="sources",
+)
+def q163_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q163_"), "lineitem_orc")
+    (
+        li.write.mode("overwrite")
+        .option("compression", "zlib")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return (
+        back.filter(F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            exact_sum_fixed("l_extendedprice", 2, "total_price"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

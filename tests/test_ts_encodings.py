@@ -119,3 +119,24 @@ def test_q42_hash_identical_across_encodings(spark, encoded_dirs):
     assert len(ref) > 0
     for k, rows in results.items():
         assert rows == ref, f"q42 under {k} differs from us_ntz"
+
+
+def test_orc_timestamp_roundtrip(spark, sf_dir, tmp_path):
+    """Timestamps survive the parquet -> ORC -> read conversion exactly
+    (ORC encodes epochs differently; q163 keeps its oracle type-simple and
+    delegates the ts hazard here)."""
+    e = catalog.table(spark, sf_dir, "events").filter("event_id < 500")
+    want = e.selectExpr(
+        "min(ts) AS lo", "max(ts) AS hi", "count(*) AS n", "sum(unix_micros(ts)) AS s"
+    ).first()
+    out = str(tmp_path / "events_orc")
+    e.write.mode("overwrite").orc(out)
+    got = (
+        spark.read.orc(out)
+        .selectExpr(
+            "min(ts) AS lo", "max(ts) AS hi", "count(*) AS n",
+            "sum(unix_micros(ts)) AS s",
+        )
+        .first()
+    )
+    assert tuple(got) == tuple(want) and got["n"] > 0
