@@ -368,3 +368,109 @@ def q163_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — CSV round trip: orders written as headered CSV and read back with
+# a DECLARED schema (inference is an extra scan and nondeterministic under
+# drift — never acceptable on a lake source; sources/readers.py doctrine).
+# The hazard exercised: text round-tripping of doubles and dates. Spark
+# prints doubles in shortest-round-trip (Ryu) form, so parse(print(x))==x
+# exactly, and the oracle over the ORIGINAL parquet hash-matching proves
+# it held for every row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q164_csv_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum_fixed('o_totalprice', 2)} AS total_price,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+           CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="sources",
+)
+def q164_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from hive_feature_demo_spark.sources.readers import read_csv
+
+    orders = table(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q164_"), "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType)
+            for f in orders.schema.fields
+        ]
+    )
+    back = read_csv(spark, out, schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum_fixed("o_totalprice", 2, "total_price"),
+            F.min("o_orderdate").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("string").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q165 — JSON-lines round trip with MICROSECOND timestamps: events written
+# as JSONL with an explicit 6-fraction-digit timestampFormat (the default
+# truncates sub-second precision differently across versions — pin it on
+# BOTH write and read), read back with the declared schema, aggregated.
+# Oracle over the original parquet: a hash match proves ts survives
+# text round-tripping to the exact microsecond for every row.
+# ---------------------------------------------------------------------------
+
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+@register(
+    "q165_json_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           {sql_exact_sum_fixed('value', 4)} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="sources",
+)
+def q165_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.sources.readers import read_json
+
+    events = table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q165_"), "events_jsonl")
+    (
+        events.write.mode("overwrite")
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(out)
+    )
+    back = (
+        spark.read.schema(events.schema)
+        .option("timestampFormat", _JSON_TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+            exact_sum_fixed("value", 4, "total_value"),
+        )
+        .orderBy("event_type")
+    )
