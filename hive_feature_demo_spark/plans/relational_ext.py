@@ -778,3 +778,97 @@ def q162_session_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(F.col("v").alias("user_id"), F.col("r").alias("rank_units")).orderBy(
         "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — multi-touch attribution with position-based credit: every click
+# in the 30-minute window before a purchase shares the conversion credit
+# 40/20/40 (first/middles/last) in EXACT basis points — integer division
+# with the remainder assigned to the first touch, so credits always sum
+# to 10000 and hash-match any engine. Single click gets 10000; two clicks
+# 5000/5000 (the 20% middle pool has no takers and splits to the ends).
+# Composes the round's interval machinery: purchases become [ts-30min, ts)
+# intervals and clicks are the points — instant_interval_join turns the
+# per-purchase lookback into a shuffled equi-join on grid cells (the
+# 100 TB shape; a per-purchase subquery or theta join cannot plan
+# distributed). Credit positions come from an ordinary window per
+# purchase — bounded by the horizon's click count, no global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q166_multitouch_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts
+      FROM events WHERE event_type = 'click'
+    ), touches AS (
+      SELECT p.purchase_id, c.click_id, c.c_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.c_ts, c.click_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.purchase_id) AS k
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+       AND c.c_ts < p.p_ts
+    )
+    SELECT purchase_id, click_id,
+           CAST(CASE
+             WHEN k = 1 THEN 10000
+             WHEN k = 2 THEN 5000
+             WHEN pos = 1 THEN 4000 + (2000 - (2000 // (k - 2)) * (k - 2))
+             WHEN pos = k THEN 4000
+             ELSE 2000 // (k - 2)
+           END AS BIGINT) AS credit_bp
+    FROM touches
+    ORDER BY purchase_id, click_id
+    """,
+    category="relational",
+)
+def q166_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.relational_ext import instant_interval_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("w_lo"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    # half-open [p_ts - 30min, p_ts): instant_interval_join is inclusive on
+    # both ends, so exclude the exact-purchase-instant click afterwards
+    touches = (
+        instant_interval_join(
+            clicks, purchases, "c_ts", "w_lo", "p_ts", cell_seconds=3600
+        )
+        .filter((F.col("c_user") == F.col("p_user")) & (F.col("c_ts") < F.col("p_ts")))
+    )
+    w = Window.partitionBy("purchase_id")
+    pos = F.row_number().over(w.orderBy("c_ts", "click_id"))
+    k = F.count("*").over(w)
+    mid = F.expr("2000 div (k - 2)")
+    credit = (
+        F.when(F.col("k") == 1, 10000)
+        .when(F.col("k") == 2, 5000)
+        .when(F.col("pos") == 1, F.lit(4000) + (F.lit(2000) - mid * (F.col("k") - 2)))
+        .when(F.col("pos") == F.col("k"), 4000)
+        .otherwise(mid)
+    )
+    return (
+        touches.withColumn("pos", pos)
+        .withColumn("k", k)
+        .select(
+            "purchase_id",
+            "click_id",
+            credit.cast("long").alias("credit_bp"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

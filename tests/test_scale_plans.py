@@ -340,3 +340,20 @@ def test_pps_sample_invariants(spark, sf_dir):
     rows = q161_pps_token_sample(spark, sf_dir).collect()
     assert sum(r["multiplicity"] for r in rows) == _PPS_K
     assert 0 < len(rows) <= _PPS_K
+
+
+def test_multitouch_credit_sums_to_10000(spark, sf_dir):
+    """Position-based credit split must be lossless: integer basis points
+    per purchase always total exactly 10000 regardless of touch count."""
+    from hive_feature_demo_spark.plans.relational_ext import (
+        q166_multitouch_attribution,
+    )
+
+    sums = (
+        q166_multitouch_attribution(spark, sf_dir)
+        .groupBy("purchase_id")
+        .agg(F.sum("credit_bp").alias("s"))
+        .select(F.collect_set("s").alias("set"))
+        .first()["set"]
+    )
+    assert sums == [10000]
