@@ -872,3 +872,78 @@ def q166_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — as-of join with TOLERANCE (pandas merge_asof's `tolerance`): the
+# nearest preceding order still counts only if it is within 30 days of
+# the event; staler matches are nulled. Same union+carry-forward plan as
+# q50 (one shuffle on the key, zero row explosion); tolerance is a pure
+# post-projection on the carried asof_time — it adds NOTHING to the join
+# cost, which is the reason to prefer nearest-then-filter over a
+# bounded-range join that would re-shuffle. Output aggregates match
+# status per event type (integer counts, hash-exact).
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_DAYS = 30
+
+
+@register(
+    "q167_asof_tolerance",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY 1, 2
+    ), j AS (
+      SELECT e.event_id, e.event_type, e.ts, o.o_orderdate
+      FROM events e
+      ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+                          AND o_orderdate >= ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_tolerance,
+           CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+                          AND o_orderdate < ts - INTERVAL {_ASOF_TOL_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_nulled,
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_no_history
+    FROM j
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="relational",
+)
+def q167_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    joined = asof_join(
+        e,
+        o,
+        left_time="ts",
+        right_time="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        value_cols=["last_orderkey"],
+    )
+    within = F.col("asof_time").isNotNull() & (
+        F.col("asof_time") >= F.col("ts") - F.expr(f"INTERVAL {_ASOF_TOL_DAYS} DAYS")
+    )
+    stale = F.col("asof_time").isNotNull() & (
+        F.col("asof_time") < F.col("ts") - F.expr(f"INTERVAL {_ASOF_TOL_DAYS} DAYS")
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(within.cast("long")).alias("n_within_tolerance"),
+            F.sum(stale.cast("long")).alias("n_stale_nulled"),
+            F.sum(F.col("asof_time").isNull().cast("long")).alias("n_no_history"),
+        )
+        .orderBy("event_type")
+    )

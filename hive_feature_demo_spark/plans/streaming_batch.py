@@ -917,3 +917,51 @@ def q152_foreachbatch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — REAL dropDuplicatesWithinWatermark run: distinct
+# (user, event_type, minute) activity keys de-duplicated incrementally.
+# The Spark-4 API differs from streaming dropDuplicates in the eviction
+# contract: key state is guaranteed dropped once the watermark passes the
+# key's FIRST-SEEN time + delay, even when later duplicates carry
+# different event times — the bounded-state idempotency layer for
+# at-least-once sources whose retries arrive with skewed timestamps. The
+# deduped key stream lands in the sink (append), and the batch side
+# aggregates it; the oracle is the plain DISTINCT. Projecting only key
+# columns keeps the output independent of which duplicate row survived.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q168_streaming_dedup_within_watermark",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('minute', ts) AS m
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_user_minutes
+    FROM k GROUP BY event_type ORDER BY event_type
+    """,
+    category="streaming",
+)
+def q168_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    keyed = events.select(
+        "user_id", "event_type", F.date_trunc("minute", "ts").alias("m"), "ts"
+    )
+    deduped = keyed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "m"]
+    )
+    name = f"q168_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(
+        deduped.select("user_id", "event_type", "m"), name, output_mode="append"
+    )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_user_minutes"))
+        .orderBy("event_type")
+    )
