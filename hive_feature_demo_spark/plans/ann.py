@@ -606,3 +606,90 @@ def q98_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.near_dup_pairs(emb, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# q169 — ANN recall evaluation: recall@5 of the LSH-bucketed path (q61)
+# against the exact brute-force top-5 (q36's machinery), per query point —
+# the standard quality gate an ANN index must pass before deployment.
+# Both paths are deterministic (rounded-cosine ranking, id tie-breaks,
+# identical plane constants inlined into the oracle), so the recall
+# NUMBERS are hash-exact: hits as integers, recall in basis points
+# (hits * 10000 / 5 = hits * 2000). The broadcast-query brute pass is
+# affordable because the probe set is small — precisely the regime where
+# ground truth for recall eval is computed at 100 TB (sampled queries,
+# full corpus scan once).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q169_ann_recall_eval",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             {_sql_signature("embedding::DOUBLE[]")} AS sig
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             {_sql_signature("embedding::DOUBLE[]")} AS sig
+      FROM embeddings WHERE vec_id < 20
+    ), lsh_scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} AS cos_sim
+      FROM c JOIN q USING (sig)
+      WHERE c.neighbor_id != q.query_id
+    ), lsh_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM lsh_scored
+      ) WHERE rank <= 5
+    ), exact_scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} AS cos_sim
+      FROM q, c
+      WHERE c.neighbor_id != q.query_id
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM exact_scored
+      ) WHERE rank <= 5
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.hits, 0) * 2000 AS BIGINT) AS recall_bp
+    FROM q LEFT JOIN (
+      SELECT e.query_id, COUNT(*) AS hits
+      FROM exact_top e JOIN lsh_top l
+        ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+      GROUP BY e.query_id
+    ) h ON q.query_id = h.query_id
+    ORDER BY q.query_id
+    """,
+    category="ann",
+)
+def q169_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    lsh = similarity.lsh_bucketed_topk(
+        emb, queries, dim=_DIM, k=5, bits=_BITS, seed=42
+    ).select("query_id", "neighbor_id")
+    exact = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(lsh, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        spine.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("hits", F.lit(0)) * 2000).cast("long").alias("recall_bp"),
+        )
+        .orderBy("query_id")
+    )
