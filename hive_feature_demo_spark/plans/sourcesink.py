@@ -474,3 +474,53 @@ def q165_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — schema-evolution round trip: a dataset written in two generations
+# (generation 1 without o_orderpriority, generation 2 with it) is read
+# back under ``mergeSchema`` — the lake-scale reality that columns get
+# ADDED over time and historical files must surface them as NULL, not
+# break the read. The aggregate buckets gen-1 rows under '<missing>' via
+# coalesce; the oracle replays the generation split from the original
+# table, so a hash match proves (a) merged-footer schema resolution,
+# (b) NULL back-fill for pre-evolution files, (c) no row/value loss
+# across generations. (At 100 TB, mergeSchema's footer-merge cost is why
+# production catalogs pin the schema in a metastore — exercised in
+# tests/test_hive_metastore.py; this query checks the raw-path behavior.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q170_schema_evolution_roundtrip",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           {sql_exact_sum_fixed('o_totalprice', 2)} AS total_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="sources",
+)
+def q170_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q170_"), "orders_evolving")
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    gen2 = orders.filter(F.col("o_orderkey") % 2 != 0)
+    gen1.write.mode("overwrite").parquet(out)
+    gen2.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy(
+            F.coalesce("o_orderpriority", F.lit("<missing>")).alias("priority")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum_fixed("o_totalprice", 2, "total_price"),
+        )
+        .orderBy("priority")
+    )
