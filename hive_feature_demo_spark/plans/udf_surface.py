@@ -175,3 +175,58 @@ def q153_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — grouped-map via applyInArrow (Spark 4): the zero-pandas grouped
+# UDF — each group arrives as a pyarrow.Table, avoiding the
+# arrow->pandas->arrow conversion tax that applyInPandas pays (numpy
+# column math directly on arrow buffers). Per event_type: event count,
+# user count, and a fixed-point value sum computed inside the UDF as
+# integer cents — order-independent, so the grouped-map result
+# hash-matches SQL exactly. Completes the UDF surface row: pandas
+# scalar / grouped-agg / grouped-map / UDTF / mapInArrow / applyInArrow.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q171_applyinarrow_groupstats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="udf",
+)
+def q171_applyinarrow_groupstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+
+    def stats(key, tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        values = np.asarray(tbl.column("value"), dtype=np.float64)
+        cents = np.floor(values * 100.0 + 0.5).astype(np.int64).sum()
+        users = len(set(tbl.column("user_id").to_pylist()))
+        return pa.Table.from_pydict(
+            {
+                "event_type": pa.array([key[0]], type=pa.string()),
+                "n_events": pa.array([tbl.num_rows], type=pa.int64()),
+                "n_users": pa.array([users], type=pa.int64()),
+                "total_value": pa.array([int(cents) / 100.0], type=pa.float64()),
+            }
+        )
+
+    return (
+        e.groupBy("event_type")
+        .applyInArrow(
+            stats,
+            schema="event_type string, n_events long, n_users long, total_value double",
+        )
+        .orderBy("event_type")
+    )
