@@ -19,6 +19,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     streaming_batch,
     textstats,
     tpch_more,
+    tpch_rest,
     udf_surface,
 )
 from hive_feature_demo_spark.plans.registry import REGISTRY, oracle_sql_map, queries_map
