@@ -1,0 +1,508 @@
+"""Advanced operator families beyond the SURVEY §2 checklist: SCD type-2
+history building, bounded-round graph algorithms (label propagation,
+triangle counting), skew-safe salted aggregation, Pareto-skyline
+selection, EWMA smoothing, and robust (MAD) outlier detection.
+
+Determinism rules as everywhere in this repo: money/value sums go through
+the exact-decimal or scaled-long path (functions/numeric.py), timestamps
+serialize via date_format, iterative algorithms run a FIXED number of
+rounds with integer or exactly-representable arithmetic so the DuckDB
+oracle can replay them CTE-for-CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import (
+    exact_sum,
+    round_det,
+    sql_exact_sum,
+    sql_round_det,
+)
+from hive_feature_demo_spark.plans.registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+# Session bounds shared with q160/q162 (strict 30-minute gap) so the graph
+# queries below describe the same graph.
+_SESS_SQL = """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), s AS (
+      SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    ), pairs AS (
+      SELECT a.user_id AS ua, b.user_id AS ub
+      FROM s a JOIN s b
+        ON a.user_id < b.user_id
+       AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+      GROUP BY 1, 2
+    )"""
+
+
+def _overlap_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique undirected session-overlap edges (ua < ub), q160's definition."""
+    from hive_feature_demo_spark.plans.relational_ext import (
+        q160_overlapping_session_pairs,
+    )
+
+    return q160_overlapping_session_pairs(spark, sf_dir).select(
+        F.col("user_a").alias("ua"), F.col("user_b").alias("ub")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — SCD type-2 history build: collapse each user's consecutive run of
+# equal event_type into one [valid_from, valid_to) row, open-ended for the
+# current run. The standard gaps-and-islands shape (one window pass + one
+# aggregate + one lead) — this is how a slowly-changing dimension is
+# DERIVED from an event log, complementing q129's SCD-1 merge which
+# OVERWRITES in place. Scale: everything partitions by user_id; no global
+# operator anywhere.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q184_scd2_history",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), runs AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+      FROM marked
+    ), spans AS (
+      SELECT user_id, run_seq, event_type,
+             MIN(ts) AS vf, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_seq, event_type
+    )
+    SELECT user_id, event_type,
+           strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                    '{_TS_FMT_DUCK}') AS valid_to,
+           CAST(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
+                AS BOOLEAN) AS is_current,
+           n_events
+    FROM spans
+    ORDER BY user_id, valid_from
+    """,
+    category="relational",
+)
+def q184_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    spans = (
+        marked.withColumn("run_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "run_seq", "event_type")
+        .agg(F.min("ts").alias("vf"), F.count("*").alias("n_events"))
+    )
+    ww = Window.partitionBy("user_id").orderBy("vf")
+    return (
+        spans.withColumn("vt", F.lead("vf").over(ww))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("vf", _TS_FMT).alias("valid_from"),
+            F.date_format("vt", _TS_FMT).alias("valid_to"),
+            F.col("vt").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — bounded-round min-label propagation over the session-overlap
+# graph: after k rounds every node holds the minimum user_id within k hops
+# — community seeds for downstream grouping. Differs from the CC operators
+# (q86/q127: iterate to convergence, result = full component) in that the
+# round count is FIXED, making cost predictable at 100 TB (k joins + k
+# partial-agg shuffles, edge list materialized once) and the result
+# exactly replayable as k unrolled CTEs in the oracle.
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 4
+
+
+def _lp_oracle() -> str:
+    head = (
+        _SESS_SQL
+        + """, edges AS (
+      SELECT ua AS src, ub AS dst FROM pairs
+      UNION ALL
+      SELECT ub AS src, ua AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT user_id AS v FROM events
+    ), l0 AS (
+      SELECT v, v AS lbl FROM nodes
+    )"""
+    )
+    steps = []
+    for i in range(_LP_ITERS):
+        steps.append(f""", l{i + 1} AS (
+      SELECT n.v, LEAST(cur.lbl, COALESCE(nb.nlbl, cur.lbl)) AS lbl
+      FROM nodes n
+      JOIN l{i} cur ON n.v = cur.v
+      LEFT JOIN (
+        SELECT e.dst AS v, MIN(l{i}.lbl) AS nlbl
+        FROM edges e JOIN l{i} ON e.src = l{i}.v
+        GROUP BY e.dst
+      ) nb ON n.v = nb.v
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT v AS user_id, lbl AS community_seed FROM l{_LP_ITERS}
+    ORDER BY user_id
+    """
+    )
+
+
+@register("q185_label_propagation", oracle=_lp_oracle(), category="relational")
+def q185_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _overlap_edges(spark, sf_dir)
+    edges = pairs.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionByName(pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # materialize once, reuse per round
+    nodes = (
+        table(spark, sf_dir, "events").select(F.col("user_id").alias("v")).distinct()
+    )
+    lbl = nodes.withColumn("lbl", F.col("v"))
+    for _ in range(_LP_ITERS):
+        nb = (
+            edges.join(lbl, edges.src == lbl.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        lbl = (
+            lbl.join(nb, lbl.v == nb.nv, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return lbl.select(
+        F.col("v").alias("user_id"), F.col("lbl").alias("community_seed")
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q186 — per-user triangle participation on the session-overlap graph.
+# Canonical a<b<c enumeration counts each triangle exactly once: wedge
+# join on the shared middle vertex, closed by an inner join against the
+# (a,c) edge. Scale shape: the wedge
+# join shuffles on the middle vertex b (bounded by per-vertex degree; the
+# classic refinement — orient edges by (degree, id) — halves wedge count
+# and is noted, not needed, at driver scale); the closing join shuffles on
+# the (a,c) pair. Per-user counts come from exploding each closed
+# triangle's three corners.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q186_triangle_participation",
+    oracle=_SESS_SQL
+    + """, tri AS (
+      SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e1.ub = e2.ua          -- wedge a<b<c via middle b
+      JOIN pairs e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+    ), corners AS (
+      SELECT a AS user_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT user_id, COUNT(*) AS n_triangles
+    FROM corners
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="relational",
+)
+def q186_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _overlap_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
+    e2 = e.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
+    e3 = e.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("user_id"))
+        .unionAll(tri.select(F.col("b").alias("user_id")))
+        .unionAll(tri.select(F.col("c").alias("user_id")))
+    )
+    return (
+        corners.groupBy("user_id")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — skew-safe salted aggregation: the two-phase (key, salt) -> key
+# pattern that keeps one hot key from pinning a single reducer at 100 TB.
+# Results are bit-identical to the direct aggregate because the partial
+# sums are exact decimals (associative) and counts are integers — the
+# oracle IS the direct aggregate. Salt = event_id mod 32: deterministic,
+# uniform, and free (no hash computation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q187_salted_aggregation",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS value_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="relational",
+)
+def q187_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(32)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(25,10)")).alias("ps"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("ps").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — Pareto skyline per language: documents not dominated on
+# (n_chars, token_count) — the multi-criteria "best corpus examples"
+# selector (dominated = another doc in the same language is >= on both
+# axes and > on one). O(n^2) NOT EXISTS is replaced by two windows over
+# n_chars: the max token_count among STRICTLY longer docs (range frame)
+# and among equal-length docs — a doc survives iff it beats the former
+# and matches the latter. One shuffle on (lang), single pass, no
+# self-join: the 100 TB shape for 2-D skylines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q188_skyline_documents",
+    oracle="""
+    WITH d AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS token_count
+      FROM documents
+    ), m AS (
+      SELECT *,
+             MAX(token_count) OVER (
+               PARTITION BY lang ORDER BY n_chars
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS max_tc_longer,
+             MAX(token_count) OVER (
+               PARTITION BY lang, n_chars) AS max_tc_equal
+    FROM d
+    )
+    SELECT lang, doc_id, n_chars, token_count
+    FROM m
+    WHERE (max_tc_longer IS NULL OR token_count > max_tc_longer)
+      AND token_count = max_tc_equal
+    ORDER BY lang, n_chars DESC, doc_id
+    """,
+    category="textstats",
+)
+def q188_skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("long")
+        .alias("token_count"),
+    )
+    w_longer = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_equal = Window.partitionBy("lang", "n_chars")
+    m = d.select(
+        "*",
+        F.max("token_count").over(w_longer).alias("max_tc_longer"),
+        F.max("token_count").over(w_equal).alias("max_tc_equal"),
+    )
+    return (
+        m.filter(
+            (F.col("max_tc_longer").isNull()
+             | (F.col("token_count") > F.col("max_tc_longer")))
+            & (F.col("token_count") == F.col("max_tc_equal"))
+        )
+        .select("lang", "doc_id", "n_chars", "token_count")
+        .orderBy("lang", F.desc("n_chars"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — EWMA over each user's last 10 events (decay 0.5). Weights 0.5^k
+# for k<=9 are exact powers of two (exactly representable in both double
+# and DECIMAL(25,10)), so weighted terms survive the exact-decimal sum
+# bit-identically on both engines — the trick that makes an EWMA
+# hash-checkable at all. One window pass (row_number desc) + one grouped
+# exact sum; partitions by user_id throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q189_ewma_user_values",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), last10 AS (
+      SELECT user_id, value, POWER(0.5, rn - 1) AS w
+      FROM ranked WHERE rn <= 10
+    )
+    SELECT user_id,
+           COUNT(*) AS n_used,
+           {sql_round_det(
+               sql_exact_sum('value * w') + ' / ' + sql_exact_sum('w'), 6)}
+             AS ewma
+    FROM last10
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    category="relational",
+)
+def q189_ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last10 = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .withColumn("w", F.pow(F.lit(0.5), F.col("rn") - 1))
+    )
+    return (
+        last10.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_used"),
+            round_det(
+                exact_sum(F.col("value") * F.col("w")) / exact_sum(F.col("w")), 6
+            ).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — robust outlier report per event_type: median, MAD (median
+# absolute deviation), and the count beyond 3 MADs. Two grouped exact
+# percentiles with a broadcast join of the 4-row median table between
+# them — the robust-statistics counterpart to q105's z-scores (mean/std
+# break under heavy tails; median/MAD do not). At 100 TB swap the exact
+# percentile for the q155 sketch path; semantics otherwise identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q190_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS median_value
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, med.median_value,
+             ABS(e.value - med.median_value) AS adev
+      FROM events e JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad_value
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           {sql_round_det('ANY_VALUE(dev.median_value)', 4)} AS median_value,
+           {sql_round_det('ANY_VALUE(mad.mad_value)', 4)} AS mad_value,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN dev.adev > 3 * mad.mad_value THEN 1 ELSE 0 END)
+             AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+    category="relational",
+)
+def q190_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("median_value")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median_value"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad_value")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            round_det(F.any_value("median_value"), 4).alias("median_value"),
+            round_det(F.any_value("mad_value"), 4).alias("mad_value"),
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_value"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
