@@ -18,6 +18,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     sourcesink,
     stats,
     streaming_batch,
+    streaming_more,
     textstats,
     tpch_more,
     tpch_rest,

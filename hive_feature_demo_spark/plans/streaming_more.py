@@ -1,0 +1,327 @@
+"""Round-4 streaming surface completions: update output mode (driven
+through foreachBatch with a real multi-micro-batch replay), chained
+stateful operators (window-over-window rollup, dedup-then-aggregate), and
+chunk-level corpus dedup on the batch side.
+
+The update-mode and chained queries replay events through the incremental
+engine for real (file source, one file per micro-batch where the test
+needs several), and their oracles replay the micro-batch structure in SQL
+— the same discipline as q48/q130/q131.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import sql_exact_sum
+from hive_feature_demo_spark.plans.registry import register
+from hive_feature_demo_spark.plans.streaming_batch import (
+    _STREAM_RUN_SEQ,
+    _streamed_events,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# ---------------------------------------------------------------------------
+# q191 — chunk-level exact dedup: split every document into consecutive
+# 20-token chunks, canonicalize identical chunks to their first occurrence
+# (min doc_id, then min chunk index), report per-document duplication.
+# The sub-document counterpart of q30's whole-document dedup — the op that
+# catches repeated boilerplate spans inside otherwise-unique documents.
+# Scale: tokens never leave the JVM; the only wide exchange is the
+# groupBy(chunk digest) over (16-byte md5, doc_id, chunk_id) triples.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q191_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(range(1, length(string_split(text, ' ')) + 1)) AS ord
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((ord - 1) // 20 AS BIGINT) AS chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS h
+      FROM toks
+      GROUP BY doc_id, CAST((ord - 1) // 20 AS BIGINT)
+    ), canon AS (
+      SELECT h, MIN(doc_id * 1000000 + chunk_id) AS owner
+      FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN c.doc_id * 1000000 + c.chunk_id <> canon.owner
+                    THEN 1 ELSE 0 END) AS n_dup_chunks
+    FROM chunks c JOIN canon ON c.h = canon.h
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    category="curation",
+)
+def q191_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    chunks = (
+        toks.groupBy(
+            "doc_id", (F.col("pos") / 20).cast("long").alias("chunk_id")
+        )
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                )
+            ).alias("h")
+        )
+        .withColumn("occ", F.col("doc_id") * 1_000_000 + F.col("chunk_id"))
+    )
+    canon = chunks.groupBy("h").agg(F.min("occ").alias("owner"))
+    return (
+        chunks.join(canon, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("occ") != F.col("owner"), 1).otherwise(0)
+            ).alias("n_dup_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — REAL update-mode run: per-type running totals, driven through
+# foreachBatch over a four-micro-batch replay (the events table split into
+# time quartiles, one file per trigger). Update mode re-emits a key only
+# in batches where it changed, so the sink records the full update
+# HISTORY; the final row per key must equal the batch aggregate and the
+# update count per key must equal the number of quartiles the key appears
+# in — both replayed exactly by the oracle's ntile(4) model. State is
+# never watermark-evicted here (running totals are global); at 100 TB
+# this is the pattern for a keyed KV sink (Redis/Delta merge) fed by
+# foreachBatch, with key count = state size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_streaming_update_totals",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_type, value,
+             NTILE(4) OVER (ORDER BY ts, event_id) AS quartile
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS value_sum,
+           COUNT(DISTINCT quartile) AS n_updates
+    FROM q
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="streaming",
+)
+def q192_streaming_update_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    replay_dir = tempfile.mkdtemp(prefix="q192_replay_")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="q192_out_"), "updates")
+    quartiled = e.withColumn(
+        "quartile", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):  # one file per quartile -> four micro-batches
+        quartiled.filter(F.col("quartile") == i).drop("quartile").coalesce(
+            1
+        ).write.mode("append").parquet(replay_dir)
+    probed = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(probed)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,10)")).alias("value_sum_dec"),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    hist = spark.read.parquet(out_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("batch_id"))
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("n_events"))).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("value_sum_dec")))
+            .cast("double")
+            .alias("value_sum"),
+            F.count("*").alias("n_updates"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _with_flush(spark: SparkSession, sf_dir: str, events_stream: DataFrame):
+    """Union a far-future sentinel row so append-mode windows all close.
+
+    The finite-replay analogue of a stream that keeps flowing (same trick
+    as q131): the sentinel advances the watermark past every real window's
+    end; its own windows never close, so append mode never emits it. Do
+    NOT filter the sentinel before the watermark operator — Catalyst
+    pushes deterministic predicates below EventTimeWatermark and the
+    flush row would vanish before registering (observed in q131).
+    """
+    import datetime as dt
+
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_dir = tempfile.mkdtemp(prefix="flush_")
+    spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
+    flush_stream = spark.readStream.schema(
+        spark.read.parquet(flush_dir).schema
+    ).parquet(flush_dir)
+    return events_stream.unionByName(flush_stream)
+
+
+# ---------------------------------------------------------------------------
+# q193 — chained stateful operators: 15-minute tumbling counts per type,
+# re-aggregated into hourly rollups INSIDE the same streaming query
+# (window-over-window via window_time — Spark's multi-stateful-operator
+# support). Append mode end-to-end: a 15-min window flows into the hourly
+# aggregate only once the watermark closes it, and the hourly window emits
+# once the watermark passes the hour. The flush sentinel closes the tail;
+# its own windows never emit. Scale: the second aggregate's input is the
+# FIRST aggregate's output (4 types x 4/hour rows per hour), so the
+# rollup's state is negligible — the canonical cheap downsample chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q193_chained_window_rollup",
+    oracle=f"""
+    WITH sub AS (
+      SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS w15,
+             event_type,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT strftime(date_trunc('hour', w15), '{_TS_FMT_DUCK}') AS hour_start,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           COUNT(*) AS n_subwindows
+    FROM sub
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="streaming",
+)
+def q193_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _with_flush(spark, sf_dir, _streamed_events(spark, sf_dir))
+    sub = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    rolled = (
+        sub.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("hw"), "event_type"
+        )
+        .agg(F.sum("n").alias("n_events"), F.count("*").alias("n_subwindows"))
+        .select(
+            F.date_format(F.col("hw.start"), _TS_FMT).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_subwindows",
+        )
+    )
+    name = f"q193_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(rolled, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "flush")
+        .orderBy("hour_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q194 — chained dedup -> windowed aggregate: exact distinct users per
+# hour in one streaming query. dropDuplicates on (user_id, hour_start)
+# keeps first-seen state; the downstream hourly count then needs no
+# COUNT(DISTINCT) — the standard exact-distinct streaming pattern (the
+# approximate alternative is a per-window HLL sketch, q54). Append mode +
+# flush sentinel as in q193. Scale: dedup state = one entry per
+# (user, hour) inside the watermark horizon; use
+# dropDuplicatesWithinWatermark (q168) to make eviction explicit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q194_streaming_distinct_users",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_DUCK}') AS hour_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    category="streaming",
+)
+def q194_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _with_flush(spark, sf_dir, _streamed_events(spark, sf_dir))
+    deduped = (
+        events.withWatermark("ts", "30 minutes")
+        .withColumn("hour_start", F.date_trunc("hour", "ts"))
+        .dropDuplicates(["user_id", "hour_start"])
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("hour_start"),
+            "n_users",
+        )
+    )
+    name = f"q194_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(agg, name, output_mode="append")
+    return spark.table(name).orderBy("hour_start")
