@@ -15,6 +15,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     relational_ext,
     relational_more,
     segment,
+    sketch_ops,
     sourcesink,
     stats,
     streaming_batch,
