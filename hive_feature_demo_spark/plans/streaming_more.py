@@ -220,6 +220,96 @@ def _with_flush(spark: SparkSession, sf_dir: str, events_stream: DataFrame):
 
 
 # ---------------------------------------------------------------------------
+# q196 — REAL stream-stream FULL OUTER join run, completing the join-type
+# matrix (inner q69, leftOuter q130, leftSemi q158). Null-padded rows
+# emit only at state eviction, and the two sides evict on DIFFERENT
+# boundaries derived from the time-range condition
+# click_ts < purchase_ts <= click_ts + horizon:
+#   - a click can still match purchases until watermark > click_ts +
+#     horizon (same predicate as q130);
+#   - a purchase can only match clicks STRICTLY BEFORE it, so it is
+#     unmatchable as soon as watermark > purchase_ts — no horizon term.
+# Both boundaries verified empirically at sf0.001 and sf0.01 (candidate
+# predicates pts-30min/pts/pts+30min diverge at sf0.01: 1958/1957/1955
+# vs Spark's 1957). The watermark is the q130 global-minimum model:
+# least(max click ts, max purchase ts) - delay.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q196_stream_stream_full_outer",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user,
+             ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 10 MINUTE AS w
+    ), matched AS (
+      SELECT c.c_user AS user_id, c.click_id, p.purchase_id,
+             strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts,
+             strftime(p.purchase_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+             p.purchase_value
+      FROM c JOIN p ON c.c_user = p.p_user
+        AND p.purchase_ts > c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    ), click_only AS (
+      SELECT c.c_user AS user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts,
+             CAST(NULL AS VARCHAR) AS purchase_ts,
+             CAST(NULL AS DOUBLE) AS purchase_value
+      FROM c, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM p WHERE c.c_user = p.p_user
+                AND p.purchase_ts > c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        AND c.click_ts + INTERVAL 30 MINUTE < wm.w
+    ), purchase_only AS (
+      SELECT p.p_user AS user_id, CAST(NULL AS BIGINT) AS click_id,
+             p.purchase_id,
+             CAST(NULL AS VARCHAR) AS click_ts,
+             strftime(p.purchase_ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+             p.purchase_value
+      FROM p, wm
+      WHERE NOT EXISTS (
+              SELECT 1 FROM c WHERE c.c_user = p.p_user
+                AND p.purchase_ts > c.click_ts
+                AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        AND p.purchase_ts < wm.w
+    )
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM click_only
+    UNION ALL SELECT * FROM purchase_only
+    ORDER BY user_id, click_id, purchase_id
+    """,
+    category="streaming",
+)
+def q196_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    joined = sops.click_purchase_join(
+        events, horizon="30 minutes", watermark="10 minutes", how="fullOuter"
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.date_format("click_ts", _TS_FMT).alias("click_ts"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_ts"),
+        "purchase_value",
+    )
+    name = f"q196_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(out, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
 # q193 — chained stateful operators: 15-minute tumbling counts per type,
 # re-aggregated into hourly rollups INSIDE the same streaming query
 # (window-over-window via window_time — Spark's multi-stateful-operator

@@ -228,6 +228,17 @@ def click_purchase_join(
         return joined.select(
             F.col("c_user").alias("user_id"), "click_id", "click_ts"
         )
+    if how == "fullOuter":
+        # purchase-only rows have NULL click columns — the user key must
+        # come from whichever side is present
+        return joined.select(
+            F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+            "click_id",
+            "purchase_id",
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
     return joined.select(
         F.col("c_user").alias("user_id"),
         "click_id",
