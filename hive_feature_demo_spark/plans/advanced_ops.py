@@ -506,3 +506,103 @@ def q190_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — declarative data-quality expectations (the Deequ/dbt-test
+# pattern): a rule catalog evaluated in bulk, one row per rule with
+# checked/violation counts and a pass flag. Scale shape: all row-level
+# rules for a table fold into ONE conditional-aggregate scan of that
+# table (no per-rule passes); the uniqueness and referential rules are
+# the only ones needing a shuffle (distinct count / anti join). Adding a
+# rule adds a column to the scan, not a job.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q198_data_expectations",
+    oracle="""
+    WITH o AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                      THEN 1 ELSE 0 END) AS bad_price,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS bad_status,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys
+      FROM orders
+    ), l AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS bad_discount,
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS bad_qty
+      FROM lineitem
+    ), ref AS (
+      SELECT COUNT(*) AS orphans FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ), rules AS (
+      SELECT 1 AS rule_id, 'orders.totalprice_positive' AS rule_name,
+             o.n AS n_checked, o.bad_price AS n_violations FROM o
+      UNION ALL SELECT 2, 'orders.status_in_domain', o.n, o.bad_status FROM o
+      UNION ALL SELECT 3, 'orders.orderkey_unique', o.n, o.dup_keys FROM o
+      UNION ALL SELECT 4, 'lineitem.discount_in_range', l.n, l.bad_discount FROM l
+      UNION ALL SELECT 5, 'lineitem.quantity_in_range', l.n, l.bad_qty FROM l
+      UNION ALL SELECT 6, 'lineitem.orderkey_references_orders',
+             (SELECT n FROM l), ref.orphans FROM ref
+    )
+    SELECT rule_id, rule_name, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM rules ORDER BY rule_id
+    """,
+    category="relational",
+)
+def q198_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    o_stats = o.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+    ).first()
+    l_stats = l.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).alias("bad_discount"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).alias("bad_qty"),
+    ).first()
+    orphans = (
+        l.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .count()
+    )
+    rows = [
+        (1, "orders.totalprice_positive", o_stats["n"], o_stats["bad_price"]),
+        (2, "orders.status_in_domain", o_stats["n"], o_stats["bad_status"]),
+        (3, "orders.orderkey_unique", o_stats["n"], o_stats["dup_keys"]),
+        (4, "lineitem.discount_in_range", l_stats["n"], l_stats["bad_discount"]),
+        (5, "lineitem.quantity_in_range", l_stats["n"], l_stats["bad_qty"]),
+        (6, "lineitem.orderkey_references_orders", l_stats["n"], orphans),
+    ]
+    report = spark.createDataFrame(
+        rows, "rule_id int, rule_name string, n_checked bigint, n_violations bigint"
+    )
+    return report.withColumn("passed", F.col("n_violations") == 0).orderBy(
+        "rule_id"
+    )

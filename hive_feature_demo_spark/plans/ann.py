@@ -693,3 +693,114 @@ def q169_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — IVF recall sweep: recall@5 vs exact ground truth at nprobe in
+# {1, 2, 4} in one report — the tuning curve an IVF deployment reads to
+# pick its probe budget (recall must be non-decreasing in nprobe by
+# construction: larger probe sets are supersets). Engine side runs the
+# q63 IVF operator once per nprobe (each a bounded probe-list join);
+# oracle ranks probes once and filters rn <= nprobe per sweep value.
+# Counts are integers, recall in basis points — hash-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q199_ivf_recall_sweep",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), lists AS (
+      SELECT vec_id AS neighbor_id, v AS cv2, cid FROM (
+        SELECT vecs.vec_id, vecs.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {sql_round_det("list_distance(vecs.v, cent.cv)", 6)}, cent.cid
+               ) AS rn
+        FROM vecs, cent)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cid, rn FROM (
+        SELECT vecs.vec_id, vecs.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {sql_round_det("list_distance(vecs.v, cent.cv)", 6)}, cent.cid
+               ) AS rn
+        FROM vecs, cent WHERE vecs.vec_id < 20)
+      WHERE rn <= 4
+    ), np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    ivf_top AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT np.nprobe, p.query_id, l.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY np.nprobe, p.query_id
+                 ORDER BY {sql_round_det(_COS.format(a="l.cv2", b="p.qv"), 4)} DESC,
+                          l.neighbor_id) AS rank
+        FROM np JOIN probes p ON p.rn <= np.nprobe
+        JOIN lists l USING (cid)
+        WHERE l.neighbor_id != p.query_id)
+      WHERE rank <= 5
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} DESC,
+                          c.neighbor_id) AS rank
+        FROM q, c WHERE c.neighbor_id != q.query_id)
+      WHERE rank <= 5
+    )
+    SELECT np.nprobe,
+           CAST((SELECT COUNT(*) FROM q) AS BIGINT) AS n_queries,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS total_hits,
+           CAST(COALESCE(h.hits, 0) * 10000
+                // (5 * (SELECT COUNT(*) FROM q)) AS BIGINT) AS recall_bp
+    FROM np LEFT JOIN (
+      SELECT i.nprobe, COUNT(*) AS hits
+      FROM ivf_top i JOIN exact_top e
+        ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+      GROUP BY i.nprobe
+    ) h ON np.nprobe = h.nprobe
+    ORDER BY np.nprobe
+    """,
+    category="ann",
+)
+def q199_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    n_queries = queries.count()  # driver scalar, bounded by the probe set
+    exact = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact.localCheckpoint(eager=True)  # reused by all sweep points
+    sweeps = []
+    for nprobe in (1, 2, 4):
+        ivf = similarity.ivf_topk(
+            emb, queries, n_centroids=16, nprobe=nprobe, k=5
+        ).select("query_id", "neighbor_id")
+        sweeps.append(
+            ivf.join(exact, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(nprobe).alias("nprobe"), "hits")
+        )
+    out = sweeps[0].unionByName(sweeps[1]).unionByName(sweeps[2])
+    return (
+        out.select(
+            "nprobe",
+            F.lit(n_queries).cast("long").alias("n_queries"),
+            F.col("hits").cast("long").alias("total_hits"),
+            F.expr(f"CAST(hits * 10000 div (5 * {n_queries}) AS BIGINT)").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("nprobe")
+    )
