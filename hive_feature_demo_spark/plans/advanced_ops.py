@@ -199,30 +199,13 @@ def _lp_oracle() -> str:
 
 @register("q185_label_propagation", oracle=_lp_oracle(), category="relational")
 def q185_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.graph_ops import min_label_rounds
+
     pairs = _overlap_edges(spark, sf_dir)
-    edges = pairs.select(
-        F.col("ua").alias("src"), F.col("ub").alias("dst")
-    ).unionByName(pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)  # materialize once, reuse per round
     nodes = (
         table(spark, sf_dir, "events").select(F.col("user_id").alias("v")).distinct()
     )
-    lbl = nodes.withColumn("lbl", F.col("v"))
-    for _ in range(_LP_ITERS):
-        nb = (
-            edges.join(lbl, edges.src == lbl.v)
-            .groupBy(F.col("dst").alias("nv"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        lbl = (
-            lbl.join(nb, lbl.v == nb.nv, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
+    lbl = min_label_rounds(nodes, pairs, _LP_ITERS)
     return lbl.select(
         F.col("v").alias("user_id"), F.col("lbl").alias("community_seed")
     ).orderBy("user_id")
@@ -262,25 +245,9 @@ def q185_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="relational",
 )
 def q186_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _overlap_edges(spark, sf_dir).localCheckpoint(eager=True)
-    e1 = e.select(F.col("ua").alias("a"), F.col("ub").alias("b"))
-    e2 = e.select(F.col("ua").alias("b2"), F.col("ub").alias("c"))
-    e3 = e.select(F.col("ua").alias("a3"), F.col("ub").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
-    )
-    corners = (
-        tri.select(F.col("a").alias("user_id"))
-        .unionAll(tri.select(F.col("b").alias("user_id")))
-        .unionAll(tri.select(F.col("c").alias("user_id")))
-    )
-    return (
-        corners.groupBy("user_id")
-        .agg(F.count("*").alias("n_triangles"))
-        .orderBy("user_id")
-    )
+    from hive_feature_demo_spark.operators.graph_ops import triangle_participation
+
+    return triangle_participation(_overlap_edges(spark, sf_dir)).orderBy("user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -371,23 +338,10 @@ def q188_skyline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_count"),
     )
-    w_longer = (
-        Window.partitionBy("lang")
-        .orderBy("n_chars")
-        .rangeBetween(1, Window.unboundedFollowing)
-    )
-    w_equal = Window.partitionBy("lang", "n_chars")
-    m = d.select(
-        "*",
-        F.max("token_count").over(w_longer).alias("max_tc_longer"),
-        F.max("token_count").over(w_equal).alias("max_tc_equal"),
-    )
+    from hive_feature_demo_spark.operators.graph_ops import skyline_2d
+
     return (
-        m.filter(
-            (F.col("max_tc_longer").isNull()
-             | (F.col("token_count") > F.col("max_tc_longer")))
-            & (F.col("token_count") == F.col("max_tc_equal"))
-        )
+        skyline_2d(d, "lang", "n_chars", "token_count")
         .select("lang", "doc_id", "n_chars", "token_count")
         .orderBy("lang", F.desc("n_chars"), "doc_id")
     )
