@@ -560,3 +560,52 @@ def q198_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.withColumn("passed", F.col("n_violations") == 0).orderBy(
         "rule_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — Markov transition matrix over each user's event sequence:
+# P(next_type | type) in exact basis points (integer division), the
+# sequence-model estimation primitive (session simulators, next-action
+# prediction baselines). One window pass per user for the lead, one
+# aggregate for pair counts, one window for row totals — everything
+# partitions by user_id then by from_type; probabilities are integers so
+# any engine hash-matches.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q205_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+             AS p_bp
+    FROM pairs
+    ORDER BY from_type, to_type
+    """,
+    category="relational",
+)
+def q205_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("total", F.sum("n").over(tot))
+        .withColumn("p_bp", F.expr("CAST(n * 10000 div total AS BIGINT)"))
+        .select("from_type", "to_type", "n", "p_bp")
+        .orderBy("from_type", "to_type")
+    )

@@ -169,3 +169,101 @@ def q149_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — PMI token associations: pointwise mutual information
+# ln(N * df_xy / (df_x * df_y)) for within-document token pairs, the
+# collocation/association measure feeding phrase mining and topic seeds.
+# Pairs come from a doc_id-keyed self-join of the per-doc DISTINCT token
+# sets with t1 < t2 — bounded by (tokens per doc)^2 after a document-
+# frequency floor (>= 5% of docs) prunes the long tail; at 100 TB the
+# floor is what keeps the pair space vocabulary-bounded rather than
+# corpus-bounded. PMI is rounded to 6dp (ln on identical doubles on both
+# engines; same discipline as the TF-IDF oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q206_pmi_associations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+               AS term
+      FROM documents
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+      SELECT term, COUNT(*) AS d FROM toks GROUP BY term
+      HAVING COUNT(*) >= (SELECT n_docs FROM n) * 0.05
+    ), freq_toks AS (
+      SELECT t.doc_id, t.term, df.d FROM toks t JOIN df USING (term)
+    ), pairs AS (
+      SELECT a.term AS t1, b.term AS t2,
+             ANY_VALUE(a.d) AS d1, ANY_VALUE(b.d) AS d2,
+             COUNT(*) AS d12
+      FROM freq_toks a JOIN freq_toks b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term
+    )
+    SELECT t1, t2, d12,
+           {sql_round_det(
+               'ln(CAST((SELECT n_docs FROM n) AS DOUBLE) * d12 / (d1 * d2))', 6
+           )} AS pmi
+    FROM pairs
+    ORDER BY pmi DESC, t1, t2
+    LIMIT 30
+    """,
+    category="textstats",
+)
+def q206_pmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.numeric import round_det
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # one driver scalar (metadata-cheap)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+            )
+        ).alias("term"),
+    )
+    df_counts = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= n_docs * 0.05)
+    )
+    freq = toks.join(F.broadcast(df_counts), "term")
+    a = freq.select("doc_id", F.col("term").alias("t1"), F.col("d").alias("d1"))
+    b = freq.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("t2"),
+        F.col("d").alias("d2"),
+    )
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b")) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(
+            F.any_value("d1").alias("d1"),
+            F.any_value("d2").alias("d2"),
+            F.count("*").alias("d12"),
+        )
+    )
+    return (
+        pairs.select(
+            "t1",
+            "t2",
+            "d12",
+            round_det(
+                F.log(
+                    F.lit(float(n_docs))
+                    * F.col("d12")
+                    / (F.col("d1") * F.col("d2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "t1", "t2")
+        .limit(30)
+    )
