@@ -524,3 +524,57 @@ def q170_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — native XML round trip (Spark 4 ships the former spark-xml as a
+# built-in format): customers written as <customer> row elements, read
+# back with a declared schema, aggregated — completing the text-format
+# matrix (CSV q164, JSONL q165, XML here). XML is the interchange format
+# legacy enterprise feeds still speak; the declared-schema read keeps
+# type fidelity (bigint keys, double balances) through the text hop.
+# Double values survive because Spark writes them with Ryu shortest-
+# round-trip representation, same as the CSV/JSONL paths.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q207_xml_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_exact_sum_fixed('c_acctbal', 2)} AS total_balance,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    category="sources",
+)
+def q207_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q207_"), "customer_xml")
+    (
+        customer.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema(customer.schema)
+        .load(out)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum_fixed("c_acctbal", 2, "total_balance"),
+            F.min("c_custkey").cast("long").alias("min_key"),
+            F.max("c_custkey").cast("long").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -357,3 +357,61 @@ def test_multitouch_credit_sums_to_10000(spark, sf_dir):
         .first()["set"]
     )
     assert sums == [10000]
+
+
+def test_q174_all_predicates_pushed_to_scan(spark):
+    """TPC-H Q6: shipdate/discount/quantity filters must reach the
+    parquet reader, and only the needed columns are read."""
+    from hive_feature_demo_spark.plans.tpch_rest import q174_forecast_revenue
+
+    plan = _formatted_plan(q174_forecast_revenue(spark, SF_DIR))
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # pruned
+
+
+def test_q173_exists_plans_as_semi_join_no_cartesian(spark):
+    """Q4's EXISTS with a residual date condition must be a left semi
+    hash/sort-merge join on orderkey, never a nested-loop/cartesian."""
+    from hive_feature_demo_spark.plans.tpch_rest import q173_order_priority_check
+
+    plan = _formatted_plan(q173_order_priority_check(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q183_double_exists_no_cartesian(spark):
+    """Q21's EXISTS + NOT EXISTS: one semi and one anti join, both with
+    the supplier inequality as residual — no cartesian anywhere."""
+    from hive_feature_demo_spark.plans.tpch_rest import q183_sole_late_shipper
+
+    plan = _formatted_plan(q183_sole_late_shipper(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q175_dimensions_broadcast(spark):
+    """Q8's six-table tree: part/customer/supplier/nation sides broadcast;
+    the only exchanges shuffle lineitem<->orders on orderkey."""
+    from hive_feature_demo_spark.plans.tpch_rest import q175_market_share
+
+    plan = _formatted_plan(q175_market_share(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q188_skyline_is_single_pass_no_self_join(spark):
+    """The skyline must plan as windows over one scan — the O(n^2)
+    NOT EXISTS formulation would show a join of documents to itself."""
+    from hive_feature_demo_spark.plans.advanced_ops import q188_skyline_documents
+
+    plan = _formatted_plan(q188_skyline_documents(spark, SF_DIR))
+    assert "Window" in plan
+    for join_kind in ("SortMergeJoin", "BroadcastHashJoin",
+                      "ShuffledHashJoin", "CartesianProduct"):
+        assert join_kind not in plan, f"unexpected {join_kind} in skyline plan"
