@@ -345,3 +345,101 @@ def q204_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — recursive CTE (Spark 4.1): hierarchy rollup over the implicit
+# binary tree on customer keys (parent = key // 2, root = key 1) — the
+# org-chart/BOM traversal SQL could not express on Spark before
+# recursion landed. Depth is data-derived, the recursion is acyclic by
+# construction, and the oracle runs the identical WITH RECURSIVE in
+# DuckDB. Scale note: each recursion step is one self-join — depth
+# O(log n) for this tree; recursion on general graphs needs the
+# iterative operators (q86/q127/q185) instead, where cycle handling and
+# checkpointing are explicit.
+# ---------------------------------------------------------------------------
+
+_Q208_SQL = """
+    WITH RECURSIVE walk(c_custkey, c_acctbal, depth) AS (
+      SELECT c_custkey, c_acctbal, 0 FROM customer WHERE c_custkey = 1
+      UNION ALL
+      SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+      FROM customer c JOIN walk w ON c.c_custkey // 2 = w.c_custkey
+    )
+    SELECT depth, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_balance
+    FROM walk
+    GROUP BY depth
+    ORDER BY depth
+"""
+
+
+@register(
+    "q208_recursive_hierarchy",
+    oracle=_Q208_SQL,
+    category="relational",
+)
+def q208_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    # Spark spells integer division `div`, DuckDB `//` — same SQL otherwise
+    return spark.sql(_Q208_SQL.replace("//", "div"))
+
+
+# ---------------------------------------------------------------------------
+# q209 — collation-aware grouping (Spark 4 collations): a mixed-case
+# segment label grouped under UTF8_LCASE merges case variants WITHOUT
+# rewriting the data through lower() — the collation rides the type, so
+# every comparison/join/group downstream inherits it. The oracle models
+# the same semantics with explicit lower(); the output canonicalizes the
+# group key the same way on both engines (collated GROUP BY returns an
+# arbitrary case representative, so the canonical form is what's stable).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_collated_grouping",
+    oracle=f"""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0
+                  THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    SELECT lower(seg) AS segment,
+           COUNT(*) AS n_customers,
+           {sql_exact_sum_fixed('c_acctbal', 2)} AS total_balance
+    FROM mixed
+    GROUP BY lower(seg)
+    ORDER BY segment
+    """,
+    category="relational",
+)
+def q209_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+        )
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg"),
+        "c_acctbal",
+    )
+    collated = mixed.select(
+        F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci"), "c_acctbal"
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum_fixed("c_acctbal", 2, "total_balance"),
+        )
+        # the group representative's case is engine-internal; canonicalize
+        .select(
+            F.lower(F.col("seg_ci").cast("string")).alias("segment"),
+            "n_customers",
+            "total_balance",
+        )
+        .orderBy("segment")
+    )
