@@ -804,3 +804,154 @@ def q199_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — hard-negative mining: for each query vector, the top-5 most
+# similar corpus vectors with a DIFFERENT label — the contrastive-
+# training data op (retrieval models train on near-miss negatives, not
+# random ones). Same broadcast-query brute pass as the recall evals
+# (query set small, corpus scanned once); the label inequality filters
+# BEFORE ranking so every returned row is a usable negative.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q210_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS n_label, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, n_label AS negative_label, cos_sim, rank
+    FROM (
+      SELECT q.query_id, c.neighbor_id, c.n_label,
+             {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} DESC,
+                        c.neighbor_id) AS BIGINT) AS rank
+      FROM q JOIN c
+        ON c.neighbor_id != q.query_id AND c.n_label != q.q_label
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    category="ann",
+)
+def q210_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.similarity import cosine
+    from hive_feature_demo_spark.functions.numeric import round_det
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("negative_label") != F.col("q_label"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "negative_label",
+            round_det(cosine(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — kNN label consistency: for every query, the fraction (basis
+# points) of its exact top-5 neighbors sharing its label — the intrinsic
+# embedding-quality score (high consistency = the space separates
+# classes; the aggregate per label pinpoints which classes bleed).
+# Composes the deterministic exact top-k with one integer aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q211_knn_label_consistency",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 50
+    ), c AS (
+      SELECT vec_id AS neighbor_id, label AS n_label, embedding::DOUBLE[] AS cv
+      FROM embeddings
+    ), top5 AS (
+      SELECT query_id, q_label, n_label FROM (
+        SELECT q.query_id, q.q_label, c.n_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} DESC,
+                          c.neighbor_id) AS rank
+        FROM q JOIN c ON c.neighbor_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT q_label AS label,
+           COUNT(DISTINCT query_id) AS n_queries,
+           CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_label,
+           CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) * 10000
+                // (5 * COUNT(DISTINCT query_id)) AS BIGINT) AS consistency_bp
+    FROM top5
+    GROUP BY q_label
+    ORDER BY q_label
+    """,
+    category="ann",
+)
+def q211_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    top5 = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    labels = emb.select(F.col("vec_id").alias("lid"), F.col("label").alias("lbl"))
+    joined = (
+        top5.join(
+            F.broadcast(labels).withColumnRenamed("lid", "qid_l"),
+            F.col("query_id") == F.col("qid_l"),
+        )
+        .withColumnRenamed("lbl", "q_label")
+        .join(
+            F.broadcast(labels).withColumnRenamed("lid", "nid_l"),
+            F.col("neighbor_id") == F.col("nid_l"),
+        )
+        .withColumnRenamed("lbl", "n_label")
+    )
+    return (
+        joined.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(
+                F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+            ).cast("long").alias("n_same_label"),
+        )
+        .withColumn(
+            "consistency_bp",
+            F.expr("CAST(n_same_label * 10000 div (5 * n_queries) AS BIGINT)"),
+        )
+        .orderBy("label")
+    )
