@@ -415,3 +415,70 @@ def q194_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     name = f"q194_out_{next(_STREAM_RUN_SEQ)}"
     sops.run_to_memory(agg, name, output_mode="append")
     return spark.table(name).orderBy("hour_start")
+
+
+# ---------------------------------------------------------------------------
+# q212 — REAL stream-static SEMI and ANTI join runs: events split by
+# membership in a static opt-in set (BUILDING-segment customers),
+# counted per type — the allowlist/denylist filter every streaming
+# pipeline runs against a dimension. Completes stream-static coverage
+# beyond q44/q108's inner joins: left_semi keeps member events,
+# left_anti keeps the rest; both sides re-broadcast the (filtered)
+# dimension per micro-batch, no stream-side state at all (stateless
+# joins — watermark-free by design).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q212_stream_static_semi_anti",
+    oracle="""
+    WITH optin AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT e.event_type,
+           SUM(CASE WHEN e.user_id IN (SELECT c_custkey FROM optin)
+                    THEN 1 ELSE 0 END) AS n_member_events,
+           SUM(CASE WHEN e.user_id IN (SELECT c_custkey FROM optin)
+                    THEN 0 ELSE 1 END) AS n_other_events
+    FROM events e
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    category="streaming",
+)
+def q212_stream_static_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    optin = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    events = _streamed_events(spark, sf_dir)
+    member = (
+        events.join(
+            F.broadcast(optin), events.user_id == optin.c_custkey, "left_semi"
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_member_events"))
+    )
+    other = (
+        _streamed_events(spark, sf_dir)
+        .join(F.broadcast(optin), F.col("user_id") == optin.c_custkey, "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_other_events"))
+    )
+    m_name = f"q212m_{next(_STREAM_RUN_SEQ)}"
+    o_name = f"q212o_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(member, m_name, output_mode="complete")
+    sops.run_to_memory(other, o_name, output_mode="complete")
+    return (
+        spark.table(m_name)
+        .join(spark.table(o_name), "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_member_events", F.lit(0)).alias("n_member_events"),
+            F.coalesce("n_other_events", F.lit(0)).alias("n_other_events"),
+        )
+        .orderBy("event_type")
+    )
