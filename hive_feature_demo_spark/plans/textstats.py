@@ -267,3 +267,75 @@ def q206_pmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "t1", "t2")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — population stability index (PSI): distribution drift of document
+# length between two sources over global length deciles — the monitoring
+# metric that catches a silently-shifted ingest feed. Deciles come from a
+# global ntile over (n_chars, doc_id) (ties broken deterministically);
+# Laplace smoothing (n+1)/(N+10) keeps every bucket strictly positive in
+# EXACTLY the same arithmetic on both engines, so the ln-based
+# contributions hash-match after 6dp rounding. Scale: at 100 TB the
+# global ntile becomes the q116/q155 distributed equi-depth boundary
+# computation; the per-bucket counting and PSI algebra are unchanged.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q213_distribution_drift_psi",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT source,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n_b
+      FROM bucketed GROUP BY bucket
+    ), tot AS (
+      SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts
+    )
+    SELECT c.bucket,
+           CAST(c.n_a AS BIGINT) AS n_src0,
+           CAST(c.n_b AS BIGINT) AS n_src1,
+           {sql_round_det(
+               "(CAST(c.n_a + 1 AS DOUBLE) / (t.ta + 10)"
+               " - CAST(c.n_b + 1 AS DOUBLE) / (t.tb + 10))"
+               " * ln((CAST(c.n_a + 1 AS DOUBLE) / (t.ta + 10))"
+               " / (CAST(c.n_b + 1 AS DOUBLE) / (t.tb + 10)))", 6)}
+             AS psi_contribution
+    FROM counts c CROSS JOIN tot t
+    ORDER BY c.bucket
+    """,
+    category="textstats",
+)
+def q213_distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.functions.numeric import round_det
+
+    d = table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    bucketed = d.withColumn(
+        "bucket", F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    p = (F.col("n_a") + 1).cast("double") / (F.col("ta") + 10)
+    q = (F.col("n_b") + 1).cast("double") / (F.col("tb") + 10)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_a").cast("long").alias("n_src0"),
+            F.col("n_b").cast("long").alias("n_src1"),
+            round_det((p - q) * F.log(p / q), 6).alias("psi_contribution"),
+        )
+        .orderBy("bucket")
+    )
