@@ -152,3 +152,86 @@ def test_salted_aggregation_equals_direct(spark):
         .collect()
     }
     assert salted == direct  # bit-identical, not just approximately equal
+
+
+def test_ewma_weights_match_python(spark):
+    # 0.5^k weights are exact powers of two: the Spark EWMA must agree
+    # with a plain-Python recomputation to float precision
+    rng = random.Random(13)
+    rows = [
+        (u, i, rng.uniform(-50, 50))
+        for u in range(5)
+        for i in range(rng.randrange(1, 25))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, seq long, value double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("seq"))
+    last10 = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .withColumn("wt", F.pow(F.lit(0.5), F.col("rn") - 1))
+    )
+    got = {
+        r["user_id"]: r["ewma"]
+        for r in last10.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("value") * F.col("wt")).cast("decimal(25,10)"))
+                .cast("double")
+                / F.sum(F.col("wt").cast("decimal(25,10)")).cast("double")
+            ).alias("ewma")
+        )
+        .collect()
+    }
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for u, i, v in rows:
+        by_user.setdefault(u, []).append((i, v))
+    for u, seq in by_user.items():
+        last = sorted(seq, key=lambda t: -t[0])[:10]
+        num = sum(v * 0.5**k for k, (_, v) in enumerate(last))
+        den = sum(0.5**k for k in range(len(last)))
+        assert abs(got[u] - num / den) < 1e-6, f"user {u}"
+
+
+def test_cms_overestimate_property(spark):
+    # the count-min guarantee (estimate >= exact) must hold for EVERY key
+    # on adversarially colliding data, not just the shipped table
+    rng = random.Random(17)
+    keys = [str(rng.randrange(0, 40)) for _ in range(2000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    h = F.md5("k")
+    hashed = df.select(
+        "k",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("b0"),
+        F.conv(F.substring(h, 3, 2), 16, 10).cast("long").alias("b1"),
+        F.conv(F.substring(h, 5, 2), 16, 10).cast("long").alias("b2"),
+    )
+    cells = (
+        hashed.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("r"), F.col("b0").alias("b")),
+                    F.struct(F.lit(1).alias("r"), F.col("b1").alias("b")),
+                    F.struct(F.lit(2).alias("r"), F.col("b2").alias("b")),
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    cell_map = {(r["r"], r["b"]): r["c"] for r in cells}
+    exact = (
+        hashed.groupBy("k", "b0", "b1", "b2").agg(F.count("*").alias("n")).collect()
+    )
+    import collections
+
+    true_counts = collections.Counter(keys)
+    for row in exact:
+        est = min(
+            cell_map[(0, row["b0"])],
+            cell_map[(1, row["b1"])],
+            cell_map[(2, row["b2"])],
+        )
+        assert est >= row["n"] == true_counts[row["k"]], row["k"]
