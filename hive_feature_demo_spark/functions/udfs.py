@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -76,3 +77,20 @@ def make_sentence_udtf():
                     idx += 1
 
     return SentenceSplitter
+
+
+def make_keyword_score_udf():
+    """Iterator-form scalar pandas UDF (SCALAR_ITER): per-task setup runs
+    once when the iterator opens, then every Arrow batch reuses it — the
+    shape that amortizes model/tokenizer loads. Deterministic keyword
+    weights so oracles can replay the scoring in SQL.
+    """
+    @F.pandas_udf("long")
+    def keyword_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        weights = {"spark": 7, "join": 1}  # one-time per-task "model load"
+        for texts in batches:
+            yield sum(
+                w * texts.str.count(kw) for kw, w in weights.items()
+            ).astype("int64")
+
+    return keyword_score

@@ -230,3 +230,45 @@ def q171_applyinarrow_groupstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — iterator-form scalar pandas UDF (SCALAR_ITER): the variant that
+# amortizes expensive per-worker initialization (model/tokenizer load)
+# across ALL Arrow batches of a partition — init runs once per task when
+# the iterator opens, not once per batch. The "model" here is a
+# deterministic keyword scorer so the oracle can replay it in SQL; the
+# real-world payload is the q60 llm_generate path. Integer outputs keep
+# the hash check trivially stable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q214_iter_pandas_udf",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(
+             7 * (length(text) - length(replace(text, 'spark', '')))
+                 // length('spark')
+             + (length(text) - length(replace(text, 'join', '')))
+                 // length('join')
+           ) AS BIGINT) AS total_score
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="udf",
+)
+def q214_iter_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyword_score = udfs.make_keyword_score_udf()
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("score", keyword_score(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("score").cast("long").alias("total_score"),
+        )
+        .orderBy("source")
+    )
