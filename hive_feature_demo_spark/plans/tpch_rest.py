@@ -682,26 +682,30 @@ def q183_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    flat = (
+    # The (order, supplier, any_late) summary is everything all three
+    # correlated predicates need. Reduce to it in ONE lineitem pass and
+    # materialize (naive: the late/semi/anti branches each re-scan
+    # lineitem+orders — 3 full fact scans, 0 ReusedExchange, observed);
+    # the checkpointed pair set is bounded by suppliers-per-order, tiny
+    # next to lineitem.
+    sup = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate")
-                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-            ).cast("int").alias("is_late"),
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("any_late")
         )
+        .localCheckpoint(eager=True)
     )
-    late = (
-        flat.filter(F.col("is_late") == 1)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    others = flat.select(
+    late = sup.filter(F.col("any_late") == 1).select("l_orderkey", "l_suppkey")
+    others = sup.select(
         F.col("l_orderkey").alias("f_orderkey"),
         F.col("l_suppkey").alias("f_suppkey"),
-        "is_late",
+        "any_late",
     )
     has_other = (F.col("l_orderkey") == F.col("f_orderkey")) & (
         F.col("l_suppkey") != F.col("f_suppkey")
@@ -709,7 +713,7 @@ def q183_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(others, has_other, "left_semi")
         .join(
-            others.filter(F.col("is_late") == 1),
+            others.filter(F.col("any_late") == 1),
             has_other,
             "left_anti",
         )
