@@ -90,9 +90,11 @@ def q191_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("occ", F.col("doc_id") * 1_000_000 + F.col("chunk_id"))
     )
-    canon = chunks.groupBy("h").agg(F.min("occ").alias("owner"))
+    # min-occurrence owner via a window over the digest: one shuffle on h,
+    # no groupBy+join-back (which would evaluate the chunk subtree twice)
+    canon_w = Window.partitionBy("h")
     return (
-        chunks.join(canon, "h")
+        chunks.withColumn("owner", F.min("occ").over(canon_w))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_chunks"),
