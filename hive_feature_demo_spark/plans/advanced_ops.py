@@ -609,3 +609,128 @@ def q205_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("from_type", "to_type", "n", "p_bp")
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — SCD-2 CDC apply: given the type-2 dimension built from history
+# BEFORE a cutoff (q184's derivation) and the post-cutoff change batch,
+# produce the new dimension incrementally — close out current rows that
+# changed, merge boundary runs that did NOT change (a user's open row
+# absorbs a continuation of the same value), append the new versions.
+# The invariant IS the oracle: incremental apply == q184's full
+# recompute over all events. Mechanism: closed pre-cutoff rows pass
+# through untouched; each user's OPEN row becomes a virtual prior run
+# unioned with the post-cutoff runs, and one more gaps-and-islands pass
+# over runs (merge on equal adjacent type) rebuilds the tail. Cost is
+# O(closed rows pass-through + open rows + delta), never O(history) —
+# the emulation of MERGE INTO for SCD-2 on engines without a
+# transactional table format.
+# ---------------------------------------------------------------------------
+
+_SCD2_CUT = "2024-01-20"
+
+
+def _scd2_runs(events: DataFrame) -> DataFrame:
+    """Per-user consecutive equal-type runs: (user_id, event_type, vf,
+    n_events), q184's gaps-and-islands core."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return (
+        marked.withColumn("run_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "run_seq", "event_type")
+        .agg(F.min("ts").alias("vf"), F.count("*").alias("n_events"))
+        .drop("run_seq")
+    )
+
+
+@register(
+    "q215_scd2_cdc_apply",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), runs AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+      FROM marked
+    ), spans AS (
+      SELECT user_id, run_seq, event_type,
+             MIN(ts) AS vf, COUNT(*) AS n_events
+      FROM runs GROUP BY user_id, run_seq, event_type
+    )
+    SELECT user_id, event_type,
+           strftime(vf, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                    '{_TS_FMT_DUCK}') AS valid_to,
+           CAST(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
+                AS BOOLEAN) AS is_current,
+           n_events
+    FROM spans
+    ORDER BY user_id, valid_from
+    """,
+    category="relational",
+)
+def q215_scd2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    base_runs = _scd2_runs(e.filter(F.col("ts") < _SCD2_CUT))
+    delta_runs = _scd2_runs(e.filter(F.col("ts") >= _SCD2_CUT))
+    # the CLOSED base rows (all but each user's last run) never change;
+    # the OPEN row re-enters the merge as a virtual prior run
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("vf"))
+    base = base_runs.withColumn("rn", F.row_number().over(w_last))
+    closed = base.filter(F.col("rn") > 1).drop("rn")
+    open_rows = base.filter(F.col("rn") == 1).drop("rn")
+    # boundary merge: adjacent runs with the same type collapse (a user
+    # whose post-cutoff activity continues the open row's type must not
+    # spawn a new version) — one more gaps-and-islands, over RUNS
+    tail = open_rows.unionByName(delta_runs)
+    w_t = Window.partitionBy("user_id").orderBy("vf")
+    run_t = w_t.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged_tail = (
+        tail.withColumn(
+            "is_new",
+            F.when(
+                F.lag("event_type").over(w_t).isNull()
+                | (F.col("event_type") != F.lag("event_type").over(w_t)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("is_new").over(run_t))
+        .groupBy("user_id", "grp", "event_type")
+        .agg(F.min("vf").alias("vf"), F.sum("n_events").alias("n_events"))
+        .drop("grp")
+    )
+    dim = closed.unionByName(merged_tail)
+    w_v = Window.partitionBy("user_id").orderBy("vf")
+    return (
+        dim.withColumn("vt", F.lead("vf").over(w_v))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("vf", _TS_FMT).alias("valid_from"),
+            F.date_format("vt", _TS_FMT).alias("valid_to"),
+            F.col("vt").isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from")
+    )
