@@ -734,3 +734,74 @@ def q215_scd2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — temporal join against the SCD-2 dimension: each event looks up
+# the user's state (q184's type-2 rows) valid AT the event's timestamp —
+# the whole point of keeping type-2 history. Join on user_id with the
+# validity interval as residual condition; per-user version chains are
+# short, so the shuffled equi-join on user_id dominates and the interval
+# residual filters within the join — no range machinery needed (compare
+# q159's grid-cell join, which is for intervals WITHOUT an equi-key).
+# Every event matches exactly one version by construction (intervals
+# partition each user's timeline); the output cross-tabulates the
+# user's state against the event's own type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q216_scd2_temporal_join",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), runs AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_seq
+      FROM marked
+    ), spans AS (
+      SELECT user_id, run_seq, event_type AS state,
+             MIN(ts) AS vf
+      FROM runs GROUP BY user_id, run_seq, event_type
+    ), dim AS (
+      SELECT user_id, state, vf,
+             LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) AS vt
+      FROM spans
+    )
+    SELECT d.state, e.event_type, COUNT(*) AS n_events
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.vf AND (d.vt IS NULL OR e.ts < d.vt)
+    GROUP BY d.state, e.event_type
+    ORDER BY d.state, e.event_type
+    """,
+    category="relational",
+)
+def q216_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    runs = _scd2_runs(e).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "vf",
+    )
+    w = Window.partitionBy("d_user").orderBy("vf")
+    dim = runs.withColumn("vt", F.lead("vf").over(w))
+    cond = (
+        (e.user_id == dim.d_user)
+        & (e.ts >= dim.vf)
+        & (dim.vt.isNull() | (e.ts < dim.vt))
+    )
+    return (
+        e.join(dim, cond)
+        .groupBy("state", "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("state", "event_type")
+    )
