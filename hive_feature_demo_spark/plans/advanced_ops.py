@@ -20,6 +20,7 @@ from hive_feature_demo_spark.functions.numeric import (
     exact_sum,
     round_det,
     sql_exact_sum,
+    sql_exact_sum_fixed,
     sql_round_det,
 )
 from hive_feature_demo_spark.plans.registry import register
@@ -805,3 +806,105 @@ def q216_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .orderBy("state", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — right-to-be-forgotten cascade audit: given a deletion cohort,
+# report exactly what a purge would remove from every table that
+# references the subject — direct rows (customer), 1-hop facts (orders,
+# events) and 2-hop facts (lineitem via orders) — plus the bytes-ish
+# proxy of affected revenue. The audit runs BEFORE the destructive step
+# everywhere compliance pipelines operate; each count is one semi join
+# against the (broadcast) cohort, the lineitem leg semi-joins the
+# affected orderkeys. Complements q140 (PII k-anonymization) on the
+# deletion side of the compliance family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q217_deletion_cascade_audit",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), aff_orders AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM cohort)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT COUNT(*) FROM cohort) AS n_rows,
+           CAST(0.0 AS DOUBLE) AS affected_revenue
+    UNION ALL
+    SELECT 'orders',
+           (SELECT COUNT(*) FROM aff_orders),
+           (SELECT COALESCE({sql_exact_sum_fixed('o_totalprice', 2)}, 0.0)
+            FROM aff_orders)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders)),
+           (SELECT COALESCE({sql_exact_sum_fixed(
+                'l_extendedprice * (1 - l_discount)', 4)}, 0.0)
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM aff_orders))
+    UNION ALL
+    SELECT 'events',
+           (SELECT COUNT(*) FROM events
+            WHERE user_id IN (SELECT c_custkey FROM cohort)),
+           CAST(0.0 AS DOUBLE)
+    ORDER BY table_name
+    """,
+    category="relational",
+)
+def q217_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.numeric import exact_sum_fixed
+
+    cohort = table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 97 == 0
+    ).select("c_custkey")
+    orders = table(spark, sf_dir, "orders")
+    aff_orders = orders.join(
+        F.broadcast(cohort), orders.o_custkey == cohort.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+    lineitem = table(spark, sf_dir, "lineitem")
+    aff_lines = lineitem.join(
+        F.broadcast(aff_orders.select("o_orderkey")),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    events = table(spark, sf_dir, "events")
+    aff_events = events.join(
+        F.broadcast(cohort), events.user_id == cohort.c_custkey, "left_semi"
+    )
+    rows = [
+        cohort.agg(
+            F.lit("customer").alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.lit(0.0).alias("affected_revenue"),
+        ),
+        aff_orders.agg(
+            F.lit("orders").alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                exact_sum_fixed("o_totalprice", 2), F.lit(0.0)
+            ).alias("affected_revenue"),
+        ),
+        aff_lines.agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                exact_sum_fixed(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ),
+                F.lit(0.0),
+            ).alias("affected_revenue"),
+        ),
+        aff_events.agg(
+            F.lit("events").alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.lit(0.0).alias("affected_revenue"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name")
