@@ -794,7 +794,9 @@ def q216_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vf",
     )
     w = Window.partitionBy("d_user").orderBy("vf")
-    dim = runs.withColumn("vt", F.lead("vf").over(w))
+    # the dimension is tiny (users x versions) — materialize it so the
+    # probe side's events scan is the only fact read in the join
+    dim = runs.withColumn("vt", F.lead("vf").over(w)).localCheckpoint(eager=True)
     cond = (
         (e.user_id == dim.d_user)
         & (e.ts >= dim.vf)

@@ -234,7 +234,11 @@ def q206_pmi_associations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
         .filter(F.col("d") >= n_docs * 0.05)
     )
-    freq = toks.join(F.broadcast(df_counts), "term")
+    # materialize the df-floored token stream once: both self-join sides
+    # (and the df counts feeding them) otherwise re-run the corpus-wide
+    # explode — the dominant cost at scale — once per reference (8 scans
+    # of documents observed in the naive plan)
+    freq = toks.join(F.broadcast(df_counts), "term").localCheckpoint(eager=True)
     a = freq.select("doc_id", F.col("term").alias("t1"), F.col("d").alias("d1"))
     b = freq.select(
         F.col("doc_id").alias("doc_b"),
