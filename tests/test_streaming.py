@@ -377,3 +377,55 @@ def test_running_totals_processor_semantics(spark, sf_dir):
             got = final[uid]
             assert int(got["n_events"]) == int(row["n_events"])
             assert got["total_value"] == pytest.approx(int(row["units"]) / 100.0, abs=0)
+
+
+def test_stateful_checkpoint_recovery_restores_agg_state(spark, tmp_path):
+    """Restarting a STATEFUL query must restore aggregation state from
+    the checkpoint: events arriving after the restart merge into counts
+    accumulated before it (3, not 1, for the shared window) — the state
+    store recovery that makes long-running windowed aggs fault-tolerant."""
+    root = str(tmp_path / "in")
+    os.makedirs(root, exist_ok=True)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = ops.events_stream(
+            spark, os.path.join(root, "b*"), max_files_per_trigger=1
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+        def write_batch(batch_df, batch_id):
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(write_batch)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # two events in the 10:00 hour before the "crash"
+    _write_batch(
+        spark, root, 0,
+        [(1, _ns(0), 1, "view", 1.0, "{}"), (2, _ns(5), 1, "view", 2.0, "{}")],
+    )
+    run_once()
+    # one more event in the SAME hour after the restart
+    _write_batch(spark, root, 1, [(3, _ns(10), 2, "view", 3.0, "{}")])
+    run_once()
+
+    hist = spark.read.parquet(out).collect()
+    latest = max(hist, key=lambda r: r["batch_id"])
+    assert latest["n"] == 3, (
+        f"state not restored: final count {latest['n']} (history: "
+        f"{sorted((r['batch_id'], r['n']) for r in hist)})"
+    )
