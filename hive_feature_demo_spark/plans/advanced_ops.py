@@ -910,3 +910,183 @@ def q217_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q218 — session path mining: the top-10 most frequent event-type paths
+# (first 5 events of each session, q42's session bounds) — journey
+# analysis for funnel design. Path assembly never leaves the JVM:
+# array_sort over (rn, type) structs then transform+concat, one shuffle
+# per stage (sessionize window -> path aggregate -> count). Full
+# tiebreak (count desc, path) keeps top-10 deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q218_session_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), ranked AS (
+      SELECT user_id, session_seq, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ), paths AS (
+      SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5
+      GROUP BY user_id, session_seq
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    category="relational",
+)
+def q218_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(run))
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("rn", F.row_number().over(w_s))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219 — RFM customer scoring: recency / frequency / monetary quintiles
+# and the composite segment code — THE classic CRM segmentation (and the
+# reference's domain: its `query_crm` recency/spend filters are RFM
+# predicates in disguise; cite backend/tools.py:31-34, 60-67). Recency
+# anchors to the dataset's frozen max(o_orderdate) (the engine's frozen-
+# today discipline, A4); quintiles are global ntile(5) with full
+# tiebreaks — at 100 TB swap for the q116 distributed boundary
+# computation, identical semantics. All-integer output hashes exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q219_rfm_scoring",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS today FROM orders
+    ), per_cust AS (
+      SELECT o.o_custkey AS c_custkey,
+             datediff('day', MAX(o.o_orderdate), ANY_VALUE(a.today))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             {sql_exact_sum_fixed('o.o_totalprice', 2)} AS monetary
+      FROM orders o CROSS JOIN anchor a
+      GROUP BY o.o_custkey
+    ), scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, c_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, c_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           {sql_exact_sum_fixed('monetary', 2)} AS segment_revenue
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    category="relational",
+)
+def q219_rfm_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.numeric import exact_sum_fixed
+
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("today"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.any_value("today").cast("date"),
+                F.max("o_orderdate").cast("date"),
+            ).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            exact_sum_fixed("o_totalprice", 2, "monetary"),
+        )
+    )
+    scored = (
+        per_cust.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.asc("recency_days"), "c_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.desc("frequency"), "c_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.desc("monetary"), "c_custkey")),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum_fixed("monetary", 2, "segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
