@@ -1090,3 +1090,235 @@ def q219_rfm_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — association rules over sessions: support / confidence / lift for
+# ordered event-type pairs co-occurring in the same session (q42 bounds)
+# — market-basket analysis with sessions as baskets. Counts come from
+# one distinct (session, type) projection self-joined within session
+# (vocabulary-bounded: |types|^2 pairs max); the probabilities are
+# emitted in exact basis points (integer division) so the rule table
+# hashes identically on any engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q220_association_rules",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), sess_types AS (
+      SELECT DISTINCT user_id, session_seq, event_type
+      FROM sess
+    ), n_sess AS (
+      SELECT COUNT(DISTINCT (user_id, session_seq)) AS total FROM sess
+    ), type_counts AS (
+      SELECT event_type, COUNT(*) AS n FROM sess_types GROUP BY event_type
+    ), pair_counts AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             COUNT(*) AS n_both
+      FROM sess_types a JOIN sess_types b
+        ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+       AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           CAST(p.n_both * 10000 // ns.total AS BIGINT) AS support_bp,
+           CAST(p.n_both * 10000 // ta.n AS BIGINT) AS confidence_bp,
+           CAST((p.n_both * 10000 * ns.total) // (ta.n * tc.n) AS BIGINT)
+             AS lift_centi
+    FROM pair_counts p
+    JOIN type_counts ta ON p.antecedent = ta.event_type
+    JOIN type_counts tc ON p.consequent = tc.event_type
+    CROSS JOIN n_sess ns
+    ORDER BY p.antecedent, p.consequent
+    """,
+    category="relational",
+)
+def q220_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn("session_seq", F.sum("is_new").over(run))
+    sess_types = sess.select("user_id", "session_seq", "event_type").distinct()
+    sess_types = sess_types.localCheckpoint(eager=True)  # 3 consumers below
+    n_sess = sess_types.select("user_id", "session_seq").distinct().count()
+    type_counts = sess_types.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = sess_types.select(
+        "user_id", "session_seq", F.col("event_type").alias("antecedent")
+    )
+    b = sess_types.select(
+        F.col("user_id").alias("u2"),
+        F.col("session_seq").alias("s2"),
+        F.col("event_type").alias("consequent"),
+    )
+    pair_counts = (
+        a.join(
+            b,
+            (a.user_id == F.col("u2"))
+            & (a.session_seq == F.col("s2"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = type_counts.select(
+        F.col("event_type").alias("ta_t"), F.col("n").alias("ta_n")
+    )
+    tc = type_counts.select(
+        F.col("event_type").alias("tc_t"), F.col("n").alias("tc_n")
+    )
+    return (
+        pair_counts.join(F.broadcast(ta), F.col("antecedent") == F.col("ta_t"))
+        .join(F.broadcast(tc), F.col("consequent") == F.col("tc_t"))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.expr(f"CAST(n_both * 10000 div {n_sess} AS BIGINT)").alias(
+                "support_bp"
+            ),
+            F.expr("CAST(n_both * 10000 div ta_n AS BIGINT)").alias(
+                "confidence_bp"
+            ),
+            F.expr(
+                f"CAST((n_both * 10000 * {n_sess}) div (ta_n * tc_n) AS BIGINT)"
+            ).alias("lift_centi"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — golden-record survivorship: for every exact-duplicate cluster
+# (q30's normalized-text digests), merge the copies into ONE canonical
+# record with per-attribute survivorship rules — id = earliest (min),
+# lang/source = most frequent value in the cluster with deterministic
+# min-value tiebreak (the "mode wins, first-seen breaks ties" MDM rule),
+# n_chars = max. This is the step AFTER dedup detection: q30 finds the
+# clusters, q31 keeps one row as-is; the golden record synthesizes the
+# best of all copies. Mode-per-cluster = one count aggregate + one
+# window max with (count desc, value asc) ordering — no sorting wars.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q221_golden_record",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+      FROM documents
+    ), clusters AS (
+      SELECT digest FROM keyed GROUP BY digest HAVING COUNT(*) > 1
+    ), members AS (
+      SELECT k.* FROM keyed k JOIN clusters USING (digest)
+    ), lang_mode AS (
+      SELECT digest, lang FROM (
+        SELECT digest, lang,
+               ROW_NUMBER() OVER (PARTITION BY digest
+                                  ORDER BY COUNT(*) DESC, lang) AS rn
+        FROM members GROUP BY digest, lang
+      ) WHERE rn = 1
+    ), source_mode AS (
+      SELECT digest, source FROM (
+        SELECT digest, source,
+               ROW_NUMBER() OVER (PARTITION BY digest
+                                  ORDER BY COUNT(*) DESC, source) AS rn
+        FROM members GROUP BY digest, source
+      ) WHERE rn = 1
+    )
+    SELECT m.digest,
+           MIN(m.doc_id) AS golden_id,
+           COUNT(*) AS n_merged,
+           ANY_VALUE(lm.lang) AS golden_lang,
+           ANY_VALUE(sm.source) AS golden_source,
+           MAX(m.n_chars) AS golden_n_chars
+    FROM members m
+    JOIN lang_mode lm ON m.digest = lm.digest
+    JOIN source_mode sm ON m.digest = sm.digest
+    GROUP BY m.digest
+    ORDER BY golden_id
+    """,
+    category="curation",
+)
+def q221_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("digest"),
+    )
+    clusters = (
+        keyed.groupBy("digest")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("digest")
+    )
+    members = keyed.join(clusters, "digest").localCheckpoint(eager=True)
+
+    def mode_of(col: str) -> DataFrame:
+        w = Window.partitionBy("digest").orderBy(
+            F.desc("cnt"), F.asc(col)
+        )
+        return (
+            members.groupBy("digest", col)
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("digest", F.col(col).alias(f"golden_{col}"))
+        )
+
+    return (
+        members.groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("golden_id"),
+            F.count("*").alias("n_merged"),
+            F.max("n_chars").alias("golden_n_chars"),
+        )
+        .join(mode_of("lang"), "digest")
+        .join(mode_of("source"), "digest")
+        .select(
+            "digest",
+            "golden_id",
+            "n_merged",
+            "golden_lang",
+            "golden_source",
+            "golden_n_chars",
+        )
+        .orderBy("golden_id")
+    )
