@@ -1322,3 +1322,138 @@ def q221_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("golden_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q222 — join-blowup audit: before running a many-to-many join, predict
+# its per-key output size from the two sides' key multiplicities
+# (|left_k| x |right_k|) and flag the keys that dominate — here the
+# click x purchase pairing per user that drives q69's stream-join state.
+# Two cheap grouped counts + a 1:1 join on key, no fact-to-fact join at
+# all: the diagnosis costs O(keys), the diagnosed join would cost
+# O(sum of products). The top offenders are exactly the keys a salting
+# or key-split strategy should target.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q222_join_blowup_audit",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), m AS (
+      SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+             COALESCE(c.n_clicks, 0) AS n_clicks,
+             COALESCE(p.n_purchases, 0) AS n_purchases
+      FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    )
+    SELECT user_id, n_clicks, n_purchases,
+           CAST(n_clicks * n_purchases AS BIGINT) AS predicted_pairs
+    FROM m
+    ORDER BY predicted_pairs DESC, user_id
+    LIMIT 10
+    """,
+    category="relational",
+)
+def q222_join_blowup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        c.join(p, c.user_id == F.col("p_user"), "full_outer")
+        .select(
+            F.coalesce("user_id", "p_user").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+        .withColumn(
+            "predicted_pairs",
+            (F.col("n_clicks") * F.col("n_purchases")).cast("long"),
+        )
+        .orderBy(F.desc("predicted_pairs"), "user_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q223 — hierarchical share-of-parent: each nation's revenue as a share
+# of its region, and each region's share of the total, in one pass —
+# the drill-down ratio every BI hierarchy renders. One aggregate at the
+# leaf grain, then two window sums up the hierarchy (region partition;
+# global) — shares in exact basis points; no second scan, no self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q223_share_of_parent",
+    oracle=f"""
+    WITH leaf AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region_name, nation_name,
+           CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_cents * 10000
+                // SUM(rev_cents) OVER (PARTITION BY region_name)
+                AS BIGINT) AS share_of_region_bp,
+           CAST(SUM(rev_cents) OVER (PARTITION BY region_name) * 10000
+                // SUM(rev_cents) OVER ()
+                AS BIGINT) AS region_share_of_total_bp
+    FROM leaf
+    ORDER BY region_name, nation_name
+    """,
+    category="relational",
+)
+def q223_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation_name"), "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region_name")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    leaf = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("region_name", "nation_name")
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w_region = Window.partitionBy("region_name")
+    w_all = Window.partitionBy()
+    return (
+        leaf.select(
+            "region_name",
+            "nation_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            F.expr(
+                "CAST(rev_cents * 10000 div "
+                "sum(rev_cents) OVER (PARTITION BY region_name) AS BIGINT)"
+            ).alias("share_of_region_bp"),
+            F.expr(
+                "CAST(sum(rev_cents) OVER (PARTITION BY region_name) * 10000"
+                " div sum(rev_cents) OVER () AS BIGINT)"
+            ).alias("region_share_of_total_bp"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
