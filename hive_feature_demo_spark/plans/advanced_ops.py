@@ -21,6 +21,7 @@ from hive_feature_demo_spark.functions.numeric import (
     round_det,
     sql_exact_sum,
     sql_exact_sum_fixed,
+    sql_hex_to_int,
     sql_round_det,
 )
 from hive_feature_demo_spark.plans.registry import register
@@ -1456,4 +1457,151 @@ def q223_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_total_bp"),
         )
         .orderBy("region_name", "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224 — A/B exposure lift: users assigned to exposed/control by md5
+# parity (deterministic, uniform, replayable — the hash-based bucketing
+# every experimentation platform uses), then the difference in mean
+# per-user purchase value with its two-sample z statistic. Means and
+# variances go through the exact-decimal path; z rounds to 6dp (sqrt is
+# correctly-rounded IEEE on both engines). A conversion-proportion test
+# degenerates here (every synthetic user purchases), so the value-based
+# contrast is the well-posed metric at every SF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q224_ab_exposure_lift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {sql_hex_to_int("md5(CAST(user_id AS VARCHAR))", '1', 1)} % 2 = 0
+                  THEN 'exposed' ELSE 'control' END AS arm,
+             {sql_exact_sum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")}
+               AS purchase_value
+      FROM events
+      GROUP BY user_id
+    ), arms AS (
+      SELECT arm,
+             COUNT(*) AS n_users,
+             {sql_exact_sum('purchase_value')} AS sum_v,
+             {sql_exact_sum('purchase_value * purchase_value')} AS sum_v2
+      FROM per_user GROUP BY arm
+    ), wide AS (
+      SELECT
+        (SELECT n_users FROM arms WHERE arm = 'exposed') AS n_e,
+        (SELECT sum_v FROM arms WHERE arm = 'exposed') AS s_e,
+        (SELECT sum_v2 FROM arms WHERE arm = 'exposed') AS q_e,
+        (SELECT n_users FROM arms WHERE arm = 'control') AS n_c,
+        (SELECT sum_v FROM arms WHERE arm = 'control') AS s_c,
+        (SELECT sum_v2 FROM arms WHERE arm = 'control') AS q_c
+    )
+    SELECT CAST(n_e AS BIGINT) AS exposed_users,
+           CAST(n_c AS BIGINT) AS control_users,
+           {sql_round_det('s_e / n_e', 6)} AS exposed_mean,
+           {sql_round_det('s_c / n_c', 6)} AS control_mean,
+           {sql_round_det(
+               '(s_e/n_e - s_c/n_c) / sqrt('
+               '((q_e - s_e*s_e/n_e)/(n_e - 1))/n_e'
+               ' + ((q_c - s_c*s_c/n_c)/(n_c - 1))/n_c)', 6)} AS z_stat
+    FROM wide
+    """,
+    category="relational",
+)
+def q224_ab_exposure_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2 == 0,
+        "exposed",
+    ).otherwise("control")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+    per_user = (
+        e.groupBy("user_id")
+        .agg(exact_sum(pv, "purchase_value"))
+        .withColumn("arm", arm)
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        exact_sum("purchase_value", "sum_v"),
+        exact_sum(F.col("purchase_value") * F.col("purchase_value"), "sum_v2"),
+    )
+    exp = arms.filter(F.col("arm") == "exposed").select(
+        F.col("n_users").alias("n_e"),
+        F.col("sum_v").alias("s_e"),
+        F.col("sum_v2").alias("q_e"),
+    )
+    ctl = arms.filter(F.col("arm") == "control").select(
+        F.col("n_users").alias("n_c"),
+        F.col("sum_v").alias("s_c"),
+        F.col("sum_v2").alias("q_c"),
+    )
+    mean_e = F.col("s_e") / F.col("n_e")
+    mean_c = F.col("s_c") / F.col("n_c")
+    var_e = (F.col("q_e") - F.col("s_e") * F.col("s_e") / F.col("n_e")) / (
+        F.col("n_e") - 1
+    )
+    var_c = (F.col("q_c") - F.col("s_c") * F.col("s_c") / F.col("n_c")) / (
+        F.col("n_c") - 1
+    )
+    z = (mean_e - mean_c) / F.sqrt(
+        var_e / F.col("n_e") + var_c / F.col("n_c")
+    )
+    return exp.crossJoin(ctl).select(
+        F.col("n_e").cast("long").alias("exposed_users"),
+        F.col("n_c").cast("long").alias("control_users"),
+        round_det(mean_e, 6).alias("exposed_mean"),
+        round_det(mean_c, 6).alias("control_mean"),
+        round_det(z, 6).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q225 — cross-source duplication matrix: for every ordered source pair,
+# how many of src_i's documents have an exact duplicate in src_j — the
+# inter-feed contamination report corpus governance reads before
+# assigning mixture weights (q142). One digest projection, one
+# per-(digest, source) distinct, one within-digest pair join bounded by
+# copies-per-digest; never touches text after the first scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q225_cross_source_dup_matrix",
+    oracle="""
+    WITH keyed AS (
+      SELECT DISTINCT source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_digests
+    FROM keyed a JOIN keyed b
+      ON a.digest = b.digest AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+    category="curation",
+)
+def q225_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        ).alias("digest"),
+    ).distinct()
+    a = keyed.select(F.col("source").alias("source_a"), "digest")
+    b = keyed.select(F.col("source").alias("source_b"), F.col("digest").alias("d2"))
+    return (
+        a.join(
+            b,
+            (F.col("digest") == F.col("d2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_digests"))
+        .orderBy("source_a", "source_b")
     )
