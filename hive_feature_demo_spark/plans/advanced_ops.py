@@ -1605,3 +1605,128 @@ def q225_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared_digests"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — Kaplan-Meier churn curve: survival probability by activity day,
+# where a user "churns" on the day of their last event. S(t) is the
+# product-limit estimator Π(1 - d_i/n_i); the running product is
+# computed as exp(Σ ln(...)) with each per-day term cast to exact
+# decimal before the cumulative sum — identical binary doubles enter on
+# both engines, so the 6dp-rounded curve hashes exactly. One grouped
+# pass for per-day churn counts, one window for the risk set and the
+# cumulative sum: O(days) state after aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q226_kaplan_meier_churn",
+    oracle=f"""
+    WITH last_day AS (
+      SELECT user_id,
+             datediff('day', (SELECT MIN(ts) FROM events), MAX(ts)) AS churn_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT churn_day, COUNT(*) AS d FROM last_day GROUP BY churn_day
+    ), risk AS (
+      SELECT churn_day, d,
+             SUM(d) OVER (ORDER BY churn_day DESC) AS n_at_risk
+      FROM daily
+    )
+    SELECT churn_day, d AS n_churned, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           {sql_round_det(
+               "exp(SUM(CAST(ln(1.0 - CAST(d AS DOUBLE)/n_at_risk + "
+               "CASE WHEN d = n_at_risk THEN 1e-12 ELSE 0 END) AS DECIMAL(25,10))"
+               ") OVER (ORDER BY churn_day))", 6)} AS survival
+    FROM risk
+    ORDER BY churn_day
+    """,
+    category="relational",
+)
+def q226_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    t0 = e.agg(F.min("ts").alias("t0"))
+    last_day = (
+        e.crossJoin(F.broadcast(t0))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("ts").cast("date"), F.any_value("t0").cast("date")
+            ).alias("churn_day")
+        )
+    )
+    daily = last_day.groupBy("churn_day").agg(F.count("*").alias("d"))
+    w_desc = Window.orderBy(F.desc("churn_day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = daily.withColumn("n_at_risk", F.sum("d").over(w_desc))
+    # ln(1 - d/n) per day; the final day has d == n (everyone remaining
+    # churns) where the true factor is 0 — the epsilon keeps ln finite
+    # and is applied identically in the oracle
+    term = F.log(
+        1.0
+        - F.col("d").cast("double") / F.col("n_at_risk")
+        + F.when(F.col("d") == F.col("n_at_risk"), 1e-12).otherwise(0.0)
+    ).cast("decimal(25,10)")
+    w_asc = Window.orderBy("churn_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risk.withColumn("survival", round_det(F.exp(F.sum(term).over(w_asc)), 6))
+        .select(
+            "churn_day",
+            F.col("d").alias("n_churned"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            "survival",
+        )
+        .orderBy("churn_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q227 — Gini concentration of purchase value per event type: the
+# inequality coefficient G = (2*Σ(i*v_i))/(n*Σv) - (n+1)/n over values
+# sorted ascending (rank ties broken by event_id — fully deterministic).
+# Rank-weighted products go through the exact-decimal sum; one window
+# for ranks + one aggregate per group. The revenue-concentration metric
+# behind "what share of spend comes from the top whales".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q227_gini_concentration",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rnk
+      FROM events WHERE value > 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {sql_round_det(
+               "2.0 * " + sql_exact_sum('rnk * value')
+               + " / (COUNT(*) * " + sql_exact_sum('value') + ")"
+               + " - (COUNT(*) + 1.0) / COUNT(*)", 6)} AS gini
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="relational",
+)
+def q227_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.withColumn("rnk", F.row_number().over(w))
+    gini = round_det(
+        2.0
+        * exact_sum(F.col("rnk") * F.col("value"))
+        / (F.count("*") * exact_sum("value"))
+        - (F.count("*") + 1.0) / F.count("*"),
+        6,
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), gini.alias("gini"))
+        .orderBy("event_type")
+    )
