@@ -12,6 +12,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     curation,
     llmops,
     mediaops,
+    pipeline_ops,
     relational,
     relational_ext,
     relational_more,
