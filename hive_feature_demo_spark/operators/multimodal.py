@@ -236,6 +236,62 @@ def media_features_kernel():
 #: backward-compatible alias (the kernel is no longer a stub past decode)
 media_features_stub = media_features_kernel
 
+STRIP_HASH_BITS = 32
+
+
+def strip_hash_kernel():
+    """``mapInPandas`` kernel: 32-bit perceptual strip hash of frame 0.
+
+    The aHash idea on the synthetic codec: split the decoded frame-0
+    buffer into 32 equal horizontal strips (w*h*3 is divisible by 32 —
+    dims are multiples of 16, so 768 | w*h*3), set bit s iff strip s's
+    byte sum exceeds the frame average (``sum_s * 32 > total`` — an exact
+    integer comparison, no division). Visually-similar buffers differ in
+    few bits, so near-duplicate detection is Hamming distance on an int64
+    — 8 bytes per asset shuffled instead of the payload.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def _hash_one(content: bytes) -> int:
+        h = hashlib.md5(content).hexdigest()
+        width = 16 * (1 + int(h[0:2], 16) % 64)
+        height = 16 * (1 + int(h[2:4], 16) % 64)
+        src = np.frombuffer(content, dtype=np.uint8)
+        if src.size == 0:
+            src = np.zeros(1, dtype=np.uint8)
+        npx3 = width * height * 3
+        flat = np.resize(src, npx3).astype(np.int64)  # frame 0 == tiled prefix
+        seg = npx3 // STRIP_HASH_BITS
+        sums = flat.reshape(STRIP_HASH_BITS, seg).sum(axis=1)
+        total = int(sums.sum())
+        return int(
+            sum(
+                1 << s
+                for s in range(STRIP_HASH_BITS)
+                if int(sums[s]) * STRIP_HASH_BITS > total
+            )
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "strip_hash": [_hash_one(c) for c in pdf["content"]],
+                }
+            )
+
+    return kernel
+
+
+def strip_hashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, strip_hash): 8-byte visual signature per binary asset."""
+    return assets.select("asset_id", "content").mapInPandas(
+        strip_hash_kernel(), schema="asset_id long, strip_hash long"
+    )
+
 
 def media_features(assets: DataFrame) -> DataFrame:
     """Decode-pipeline features over binary assets (Arrow-batched)."""

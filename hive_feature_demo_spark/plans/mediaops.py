@@ -253,3 +253,162 @@ def q121_media_resized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — binary chunk manifest: split every asset payload into fixed
+# 128-byte chunks, one manifest row per chunk with its length and md5.
+# This is the shipping layer for large media at 100 TB — multipart upload
+# / content-addressed dedupe both consume exactly this manifest; the
+# explode is bounded by payload_size/chunk_size per row and nothing wide
+# happens (no shuffle at all: scan -> generate -> project).
+# ---------------------------------------------------------------------------
+
+_CHUNK = 128
+
+
+@register(
+    "q235_media_chunk_manifest",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id AS asset_id, text,
+             CAST(GREATEST(CEIL(length(text) / {_CHUNK}.0), 1) AS BIGINT)
+               AS n_chunks,
+             unnest(generate_series(0,
+               CAST(GREATEST(CEIL(length(text) / {_CHUNK}.0), 1) AS BIGINT) - 1))
+               AS chunk_idx
+      FROM documents
+    )
+    SELECT asset_id, chunk_idx, n_chunks,
+           CAST(length(substr(text, CAST(chunk_idx * {_CHUNK} + 1 AS INT),
+                              {_CHUNK})) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(chunk_idx * {_CHUNK} + 1 AS INT), {_CHUNK}))
+             AS chunk_md5
+    FROM c
+    ORDER BY asset_id, chunk_idx
+    """,
+    category="multimodal",
+)
+def q235_media_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.greatest(F.ceil(F.length("text") / F.lit(float(_CHUNK))), F.lit(1))
+        .cast("long")
+        .alias("n_chunks")
+    )
+    c = docs.select(
+        F.col("doc_id").alias("asset_id"), "text", n_chunks
+    ).select(
+        "asset_id",
+        "text",
+        "n_chunks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)
+        ).alias("chunk_idx"),
+    )
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * _CHUNK + 1).cast("int"), F.lit(_CHUNK)
+    )
+    return c.select(
+        "asset_id",
+        "chunk_idx",
+        "n_chunks",
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("asset_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# q236 — perceptual strip-hash near-duplicates: every asset gets a 32-bit
+# aHash-style signature (strip byte-sum > frame mean, exact integer
+# comparison — operators/multimodal.strip_hash_kernel), then pairs within
+# Hamming distance 3 are reported. Scale shape: the payloads never
+# shuffle — only (asset_id, int64 hash) rows do; candidates come from
+# 4x8-bit band buckets (pigeonhole: <=3 differing bits leave >=1 of 4
+# bands identical, so banding is LOSSLESS for the threshold — same trick
+# as SimHash q47/q109), and Hamming is one bit_count(xor) per candidate.
+# The oracle replays the hash bit-for-bit from byte prefix sums and joins
+# all pairs directly (feasible at oracle scale; equal by the pigeonhole
+# argument).
+# ---------------------------------------------------------------------------
+
+_HAM_T = 3
+
+
+@register(
+    "q236_strip_hash_neardup",
+    oracle=f"""
+    WITH {_PX_CTE},
+    ranges AS (
+      SELECT d.asset_id, CAST(g.sb AS BIGINT) AS strip,
+             g.sb * (d.width * d.height * 3 // {multimodal.STRIP_HASH_BITS}) AS lo,
+             (g.sb + 1) * (d.width * d.height * 3 // {multimodal.STRIP_HASH_BITS}) AS hi
+      FROM dims d, generate_series(0, {multimodal.STRIP_HASH_BITS - 1}) g(sb)
+    ),
+    summed AS ({_tiled_sum_select('ranges')}),
+    tot2 AS (SELECT asset_id, SUM(s) AS total FROM summed GROUP BY asset_id),
+    bits AS (
+      SELECT m.asset_id, m.strip,
+             CASE WHEN m.s * {multimodal.STRIP_HASH_BITS} > t.total
+                  THEN 1 ELSE 0 END AS bit
+      FROM summed m JOIN tot2 t USING (asset_id)
+    ),
+    ham AS (
+      SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b
+        ON a.strip = b.strip AND a.asset_id < b.asset_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM ham WHERE hamming <= {_HAM_T}
+    ORDER BY id_a, id_b
+    """,
+    category="multimodal",
+)
+def q236_strip_hash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assets = multimodal.assets_from_documents(docs)
+    # one Python pass over the payloads; everything after is 8-byte rows
+    hashes = multimodal.strip_hashes(assets).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "asset_id",
+        "strip_hash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.shiftright("strip_hash", 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "strip_hash", "band.band_idx", "band.band_val")
+    a = bands.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("strip_hash").alias("h_a"),
+        "band_idx",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("strip_hash").alias("h_b"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _HAM_T)
+        .orderBy("id_a", "id_b")
+    )
