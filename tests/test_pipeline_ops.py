@@ -1,0 +1,201 @@
+"""Invariant + plan-shape tests for the pipeline-analytics family
+(q228-q236): weighted sampling, time-series diagnostics, containment
+dedup, weighted median, Theil-Sen, chunk manifest, strip-hash near-dup.
+
+Oracle parity is covered by test_oracle_parity.py; these tests pin the
+properties the oracle can't see — selection invariants, banding
+losslessness, and the physical plan shapes the 100 TB story depends on.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q228_sample_is_top_k_no_global_sort(spark):
+    """A-ES sampling must plan as TakeOrdered (per-partition top-k merged
+    on the driver), never a full Sort + single-partition Exchange."""
+    from hive_feature_demo_spark.plans.pipeline_ops import (
+        q228_weighted_reservoir_sample,
+    )
+
+    df = q228_weighted_reservoir_sample(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert len({r.o_orderkey for r in rows}) == 20
+
+
+def test_q228_weight_monotonicity(spark):
+    """Sampling keys must favor heavier weights: the sampled orders'
+    mean totalprice should exceed the population mean (the point of
+    weighted sampling). Deterministic — the md5 draw is fixed."""
+    from hive_feature_demo_spark.plans.pipeline_ops import (
+        q228_weighted_reservoir_sample,
+    )
+
+    sampled = q228_weighted_reservoir_sample(spark, SF_DIR).agg(
+        F.avg("o_totalprice")
+    ).first()[0]
+    pop = table(spark, SF_DIR, "orders").agg(F.avg("o_totalprice")).first()[0]
+    assert sampled > pop
+
+
+def test_q230_cusum_matches_recursive_reference(spark):
+    """The closed prefix form S_t = C_t - min(0, min_{j<=t} C_j) must
+    equal the textbook recursion S_t = max(0, S_{t-1} + dev_t) replayed
+    in plain Python over the same daily series."""
+    from hive_feature_demo_spark.plans.pipeline_ops import (
+        _daily,
+        q230_cusum_changepoints,
+    )
+
+    daily = sorted(_daily(spark, SF_DIR).collect(), key=lambda r: r.day)
+    xs = [r.rev for r in daily]
+    mu = sum(xs) / len(xs)  # reference only needs approximate mu/sigma
+    sigma = (sum((x - mu) ** 2 for x in xs) / len(xs)) ** 0.5
+    k = 0.5 * sigma
+    sp = sn = 0.0
+    ref = []
+    for x in xs:
+        sp = max(0.0, sp + x - mu - k)
+        sn = max(0.0, sn + mu - x - k)
+        ref.append((sp, sn))
+    got = sorted(
+        q230_cusum_changepoints(spark, SF_DIR).collect(), key=lambda r: r.day
+    )
+    assert len(got) == len(ref)
+    for (rsp, rsn), row in zip(ref, got):
+        assert row.s_pos == pytest.approx(rsp, abs=1e-4)
+        assert row.s_neg == pytest.approx(rsn, abs=1e-4)
+
+
+def test_q233_weighted_median_invariant(spark):
+    """At the picked price, cumulative weight first reaches half the
+    total: weight strictly below the median is < W/2, weight up to and
+    including it is >= W/2."""
+    from hive_feature_demo_spark.plans.pipeline_ops import q233_weighted_median
+
+    got = {r.l_returnflag: r for r in q233_weighted_median(spark, SF_DIR).collect()}
+    li = (
+        table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    for flag, row in got.items():
+        rows = [r for r in li if r.l_returnflag == flag]
+        w_total = sum(r.l_quantity for r in rows)
+        assert row.total_weight == int(w_total)
+        below = sum(
+            r.l_quantity for r in rows if r.l_extendedprice < row.weighted_median_price
+        )
+        at_or_below = sum(
+            r.l_quantity
+            for r in rows
+            if r.l_extendedprice <= row.weighted_median_price
+        )
+        assert 2 * below < w_total
+        assert 2 * at_or_below >= w_total
+
+
+def test_q236_banding_is_lossless(spark):
+    """4x8-bit band candidate generation must find EXACTLY the pairs a
+    brute-force all-pairs Hamming scan over the hashes finds at the <=3
+    threshold (pigeonhole: 3 flipped bits leave one band intact)."""
+    from hive_feature_demo_spark.operators import multimodal
+    from hive_feature_demo_spark.plans.mediaops import q236_strip_hash_neardup
+
+    docs = table(spark, SF_DIR, "documents")
+    hashes = {
+        r.asset_id: r.strip_hash
+        for r in multimodal.strip_hashes(
+            multimodal.assets_from_documents(docs)
+        ).collect()
+    }
+    ids = sorted(hashes)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in q236_strip_hash_neardup(spark, SF_DIR).collect()
+    }
+    assert got == brute
+
+
+def test_q236_payloads_stay_out_of_the_join(spark):
+    """The near-dup join must shuffle only (id, hash, band) rows — the
+    binary content column must not appear in any exchange input."""
+    from hive_feature_demo_spark.plans.mediaops import q236_strip_hash_neardup
+
+    plan = _formatted_plan(q236_strip_hash_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q235_manifest_reassembles_payload(spark):
+    """Chunks must tile the payload exactly: lengths sum to the doc
+    length and every chunk is full-size except the last."""
+    from hive_feature_demo_spark.plans.mediaops import _CHUNK, q235_media_chunk_manifest
+
+    docs = {r.doc_id: len(r.text) for r in table(spark, SF_DIR, "documents").collect()}
+    rows = q235_media_chunk_manifest(spark, SF_DIR).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == set(docs)
+    for aid, chunks in by_asset.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert sum(c.chunk_len for c in chunks) == docs[aid]
+        assert all(c.chunk_len == _CHUNK for c in chunks[:-1])
+        assert chunks[-1].chunk_len >= 1
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+
+
+def test_q234_theil_sen_between_extreme_slopes(spark):
+    """The Theil-Sen slope is a median of pairwise slopes — it must lie
+    within [min, max] pairwise slope per group (sanity against the
+    pandas kernel mangling group boundaries)."""
+    from hive_feature_demo_spark.plans.pipeline_ops import (
+        _daily,
+        q234_theil_sen_trend,
+    )
+
+    e = table(spark, SF_DIR, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("rev"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day.toordinal(), r.rev))
+    got = {r.event_type: r for r in q234_theil_sen_trend(spark, SF_DIR).collect()}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        ]
+        assert min(slopes) - 1e-6 <= got[et].theil_sen_slope <= max(slopes) + 1e-6
+        assert got[et].n_days == len(pts)
