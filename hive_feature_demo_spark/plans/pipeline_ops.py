@@ -583,3 +583,281 @@ def q234_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q237 — label centroid drift: per-label embedding centroid vs the global
+# centroid (cosine + norm). The embedding-quality monitor of a training
+# pipeline: a label whose centroid drifts from the corpus centroid (low
+# cosine) marks a skewed or contaminated slice. Shuffle is (label, dim)
+# keyed — at most |labels| * 64 groups regardless of corpus size, and the
+# final 64-term dot products are exact-decimal sums, so nothing depends
+# on accumulation order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q237_label_centroid_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT label, g.i AS dim, embedding[g.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    cl AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY label, dim
+    ),
+    cg AS (
+      SELECT dim,
+             CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS g
+      FROM d GROUP BY dim
+    ),
+    mom AS (
+      SELECT label,
+             {sql_exact_sum("c * g")} AS dot,
+             {sql_exact_sum("c * c")} AS cc,
+             {sql_exact_sum("g * g")} AS gg
+      FROM cl JOIN cg USING (dim)
+      GROUP BY label
+    ),
+    nv AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT m.label, nv.n_vecs,
+           {sql_round_det("m.dot / (sqrt(m.cc) * sqrt(m.gg))", 6)} AS cos_to_global,
+           {sql_round_det("sqrt(m.cc)", 6)} AS centroid_norm
+    FROM mom m JOIN nv USING (label)
+    ORDER BY label
+    """,
+    category="ann",
+)
+def q237_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cl = d.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("c")
+    )
+    cg = d.groupBy("dim").agg(
+        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("g")
+    )
+    mom = (
+        cl.join(F.broadcast(cg), "dim")
+        .groupBy("label")
+        .agg(
+            exact_sum(F.col("c") * F.col("g")).alias("dot"),
+            exact_sum(F.col("c") * F.col("c")).alias("cc"),
+            exact_sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+    )
+    nv = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    return (
+        mom.join(nv, "label")
+        .select(
+            "label",
+            "n_vecs",
+            round_det(
+                F.col("dot") / (F.sqrt("cc") * F.sqrt("gg")), 6
+            ).alias("cos_to_global"),
+            round_det(F.sqrt("cc"), 6).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — int8 quantization error audit: quantize every embedding value to
+# 8 bits with per-dimension min/max scaling (the standard vector-index
+# compression), dequantize, and report per-label reconstruction MSE and
+# worst absolute error. The 64-row dim-stats table broadcasts back onto
+# the element stream; quantization is floor(x*255+0.5) — the same IEEE
+# ops on both engines — so even the error metrics hash exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q238_int8_quantization_error",
+    oracle=f"""
+    WITH d AS (
+      SELECT label, g.i AS dim, embedding[g.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    ds AS (
+      SELECT dim, MIN(v) AS vmin, MAX(v) AS vmax FROM d GROUP BY dim
+    ),
+    q AS (
+      SELECT d.label, d.v,
+             CASE WHEN ds.vmax = ds.vmin THEN ds.vmin
+                  ELSE ds.vmin + FLOOR((d.v - ds.vmin) / (ds.vmax - ds.vmin)
+                                       * 255.0 + 0.5)
+                       * (ds.vmax - ds.vmin) / 255.0
+             END AS dq
+      FROM d JOIN ds USING (dim)
+    )
+    SELECT label, COUNT(*) AS n_vals,
+           {sql_round_det(sql_exact_sum("(v - dq) * (v - dq)") + " / COUNT(*) * 1000000.0", 6)}
+             AS mse_ppm,
+           {sql_round_det("MAX(ABS(v - dq)) * 1000.0", 6)} AS max_abs_err_milli
+    FROM q
+    GROUP BY label
+    ORDER BY label
+    """,
+    category="ann",
+)
+def q238_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    ds = d.groupBy("dim").agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    span = F.col("vmax") - F.col("vmin")
+    dq = F.when(span == 0, F.col("vmin")).otherwise(
+        F.col("vmin")
+        + F.floor((F.col("v") - F.col("vmin")) / span * 255.0 + 0.5) * span / 255.0
+    )
+    q = d.join(F.broadcast(ds), "dim").select("label", "v", dq.alias("dq"))
+    err = (F.col("v") - F.col("dq")) * (F.col("v") - F.col("dq"))
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vals"),
+            round_det(exact_sum(err) / F.count("*") * 1e6, 6).alias("mse_ppm"),
+            round_det(
+                F.max(F.abs(F.col("v") - F.col("dq"))) * 1e3, 6
+            ).alias("max_abs_err_milli"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239 — language-ID confusion matrix: aggregate q33's per-document
+# heuristic-vs-label comparison into the (labeled, predicted) matrix with
+# row shares — the health report a curation pipeline actually consumes
+# (which language pairs get confused, how much 'und' slips through).
+# One extra groupBy over q33's output; same scale shape.
+# ---------------------------------------------------------------------------
+
+
+def _q239_oracle() -> str:
+    from hive_feature_demo_spark.plans.llmops import _lang_sql
+
+    return f"""
+    WITH per_doc AS ({_lang_sql()})
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs,
+           {sql_round_det(
+               "CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY lang)",
+               6)} AS share_of_lang
+    FROM per_doc
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """
+
+
+@register("q239_lang_confusion_matrix", oracle=_q239_oracle(), category="textstats")
+def q239_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.plans.llmops import q33_lang_id
+
+    per_doc = q33_lang_id(spark, sf_dir)
+    counts = per_doc.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        round_det(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+        ).alias("share_of_lang"),
+    ).orderBy("lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# q240 — winsorized mean per event type: clip values at the empirical
+# P05/P95 (deterministic selection — row_number at ceil(q*n), ties by
+# event_id, NOT interpolation) and report the robust mean alongside the
+# raw mean. The outlier-insensitive KPI pattern; thresholds are one
+# window pass + a 2-rows-per-group broadcast join back onto the stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q240_winsorized_mean",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.05) AS BIGINT) THEN value END) AS lo_cut,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.95) AS BIGINT) THEN value END) AS hi_cut
+      FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           c.lo_cut, c.hi_cut,
+           {sql_round_det(sql_exact_sum("value") + " / COUNT(*)", 6)} AS raw_mean,
+           {sql_round_det(
+               sql_exact_sum(
+                   "CASE WHEN value < c.lo_cut THEN c.lo_cut "
+                   "WHEN value > c.hi_cut THEN c.hi_cut ELSE value END")
+               + " / COUNT(*)", 6)} AS winsorized_mean
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.lo_cut, c.hi_cut
+    ORDER BY e.event_type
+    """,
+    category="stats",
+)
+def q240_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.05).cast("long"), F.col("value")
+            )
+        ).alias("lo_cut"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.95).cast("long"), F.col("value")
+            )
+        ).alias("hi_cut"),
+    )
+    clipped = F.when(F.col("value") < F.col("lo_cut"), F.col("lo_cut")).otherwise(
+        F.when(F.col("value") > F.col("hi_cut"), F.col("hi_cut")).otherwise(
+            F.col("value")
+        )
+    )
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "lo_cut", "hi_cut")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_det(exact_sum("value") / F.count("*"), 6).alias("raw_mean"),
+            round_det(exact_sum(clipped) / F.count("*"), 6).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "lo_cut",
+            "hi_cut",
+            "raw_mean",
+            "winsorized_mean",
+        )
+        .orderBy("event_type")
+    )
