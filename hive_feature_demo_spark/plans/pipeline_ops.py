@@ -861,3 +861,204 @@ def q240_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q241 — arrival-lateness audit: treating event_id order as arrival order
+# within each user's stream, lateness = (max event-time seen so far) -
+# (this event's time). This is the distribution that sizes a streaming
+# watermark delay — p-late rates at candidate horizons tell you what a
+# 30-minute watermark would drop. Windows partition by user_id (never
+# global); epoch math goes through the NTZ-safe helper (events.ts
+# encoding shifts between driver rounds — functions/temporal.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q241_arrival_lateness_audit",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             (epoch_us(MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+              - epoch_us(ts)) / 1000000.0 AS late_s
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           SUM(CASE WHEN late_s > 1800 THEN 1 ELSE 0 END) AS n_late_30m,
+           SUM(CASE WHEN late_s > 7200 THEN 1 ELSE 0 END) AS n_late_2h,
+           {sql_round_det("MAX(late_s)", 6)} AS max_late_s,
+           {sql_round_det(sql_exact_sum("late_s") + " / COUNT(*)", 6)} AS mean_late_s
+    FROM seq
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    category="stats",
+)
+def q241_arrival_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = (
+        epoch_micros(F.max("ts").over(w)) - epoch_micros("ts")
+    ).cast("double") / 1e6
+    seq = e.select("event_type", late.alias("late_s"))
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 1800, 1).otherwise(0)).alias(
+                "n_late_30m"
+            ),
+            F.sum(F.when(F.col("late_s") > 7200, 1).otherwise(0)).alias(
+                "n_late_2h"
+            ),
+            round_det(F.max("late_s"), 6).alias("max_late_s"),
+            round_det(exact_sum("late_s") / F.count("*"), 6).alias("mean_late_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242 — Neyman allocation for stratified sampling: given a total budget
+# of 1000 samples over event_type strata, allocate n_h proportional to
+# N_h * S_h (stratum size x stratum std dev) — the variance-minimizing
+# design. Two aggregation passes (stratum moments, then the allocation
+# against the broadcast total); the output is the sampling PLAN a
+# pipeline feeds into q100-style deterministic rate sampling.
+# ---------------------------------------------------------------------------
+
+_BUDGET = 1000
+
+
+@register(
+    "q242_neyman_allocation",
+    oracle=f"""
+    WITH mom AS (
+      SELECT event_type, COUNT(*) AS n_h,
+             SQRT(({sql_exact_sum("value * value")}
+                   - {sql_exact_sum("value")} * {sql_exact_sum("value")} / COUNT(*))
+                  / COUNT(*)) AS s_h
+      FROM events GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(CAST(n_h * s_h AS DECIMAL(25,10))) AS DOUBLE) AS t FROM mom)
+    SELECT event_type, n_h,
+           {sql_round_det("s_h", 6)} AS stratum_std,
+           CAST(FLOOR({_BUDGET} * (n_h * s_h) / t + 0.5) AS BIGINT) AS alloc
+    FROM mom, tot
+    ORDER BY event_type
+    """,
+    category="stats",
+)
+def q242_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    mom = e.groupBy("event_type").agg(
+        F.count("*").alias("n_h"),
+        F.sqrt(
+            (
+                exact_sum(F.col("value") * F.col("value"))
+                - exact_sum("value") * exact_sum("value") / F.count("*")
+            )
+            / F.count("*")
+        ).alias("s_h"),
+    )
+    tot = mom.agg(
+        F.sum((F.col("n_h") * F.col("s_h")).cast(_DEC)).cast("double").alias("t")
+    )
+    return (
+        mom.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_h",
+            round_det("s_h", 6).alias("stratum_std"),
+            F.floor(_BUDGET * (F.col("n_h") * F.col("s_h")) / F.col("t") + 0.5)
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q243 — quantile normalization across sources: map every document's
+# n_chars onto the REFERENCE source's (src0) empirical distribution at
+# the same quantile — the cross-dataset calibration step that puts
+# heterogeneous quality/length scores on one scale before mixing
+# sources. Ranks are integer row_numbers (no interpolation), the
+# reference lookup is an equi-join on the mapped position, and every
+# window partitions by source — the largest single source bounds the
+# sort, never the corpus.
+# ---------------------------------------------------------------------------
+
+_REF_SRC = "src0"
+
+
+@register(
+    "q243_quantile_normalization",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM documents
+    ),
+    ref AS (
+      SELECT r AS ref_pos, n_chars AS ref_chars,
+             n_s AS n_ref
+      FROM ranked WHERE source = '{_REF_SRC}'
+    ),
+    mapped AS (
+      SELECT k.doc_id, k.source, k.n_chars,
+             CAST(CEIL(CAST(k.r AS DOUBLE) * f.n_ref / k.n_s) AS BIGINT) AS pos
+      FROM ranked k CROSS JOIN (SELECT DISTINCT n_ref FROM ref) f
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           r.ref_chars AS normalized_chars
+    FROM mapped m JOIN ref r ON r.ref_pos = m.pos
+    ORDER BY m.doc_id
+    """,
+    category="curation",
+)
+def q243_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w_r = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_r).alias("r"),
+        F.count("*").over(w_n).alias("n_s"),
+    )
+    ref = ranked.filter(F.col("source") == _REF_SRC).select(
+        F.col("r").alias("ref_pos"),
+        F.col("n_chars").alias("ref_chars"),
+        F.col("n_s").alias("n_ref"),
+    )
+    n_ref = ref.select("n_ref").distinct()
+    mapped = ranked.crossJoin(F.broadcast(n_ref)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ceil(F.col("r").cast("double") * F.col("n_ref") / F.col("n_s"))
+        .cast("long")
+        .alias("pos"),
+    )
+    return (
+        mapped.join(
+            F.broadcast(ref.select("ref_pos", "ref_chars")),
+            mapped["pos"] == F.col("ref_pos"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("ref_chars").alias("normalized_chars"),
+        )
+        .orderBy("doc_id")
+    )
