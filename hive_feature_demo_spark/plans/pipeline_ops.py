@@ -48,8 +48,13 @@ _DAILY_SQL = f"""
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    return e.groupBy(F.to_date("ts").alias("day")).agg(
-        round_det(exact_sum("value"), 6).alias("rev")
+    # materialized once: every consumer (mean, variance, the lag joins)
+    # would otherwise re-scan the events fact — O(days) rows stored vs
+    # 3-5 extra fact scans at 100 TB
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(round_det(exact_sum("value"), 6).alias("rev"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -636,11 +641,24 @@ def q237_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
     ).select("label", (F.col("pos") + 1).alias("dim"), "v")
-    cl = d.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("c")
+    # ONE pass over the fact: per-(label, dim) decimal sums + counts
+    # (|labels| x 64 rows, materialized); label centroids, the global
+    # centroid, and the per-label vector counts all derive from it —
+    # decimal addition is exact, so summing the label sums equals the
+    # direct global decimal sum bit-for-bit.
+    base = (
+        d.groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("v").cast(_DEC)).alias("s"),
+            F.count("*").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
     )
-    cg = d.groupBy("dim").agg(
-        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("g")
+    cl = base.select(
+        "label", "dim", (F.col("s").cast("double") / F.col("cnt")).alias("c")
+    )
+    cg = base.groupBy("dim").agg(
+        (F.sum("s").cast("double") / F.sum("cnt")).alias("g")
     )
     mom = (
         cl.join(F.broadcast(cg), "dim")
@@ -651,7 +669,9 @@ def q237_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("g") * F.col("g")).alias("gg"),
         )
     )
-    nv = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    nv = base.filter(F.col("dim") == 1).select(
+        "label", F.col("cnt").alias("n_vecs")
+    )
     return (
         mom.join(nv, "label")
         .select(
@@ -1028,13 +1048,16 @@ def q243_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     w_r = Window.partitionBy("source").orderBy("n_chars", "doc_id")
     w_n = Window.partitionBy("source")
+    # narrow materialization (no text column): the rank table feeds the
+    # reference slice, the count scalar, and the mapped join — one window
+    # pass over the corpus instead of three
     ranked = d.select(
         "doc_id",
         "source",
         "n_chars",
         F.row_number().over(w_r).alias("r"),
         F.count("*").over(w_n).alias("n_s"),
-    )
+    ).localCheckpoint(eager=True)
     ref = ranked.filter(F.col("source") == _REF_SRC).select(
         F.col("r").alias("ref_pos"),
         F.col("n_chars").alias("ref_chars"),
