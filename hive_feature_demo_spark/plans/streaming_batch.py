@@ -965,3 +965,72 @@ def q168_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> D
         .agg(F.count("*").alias("n_user_minutes"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — DYNAMIC-gap session windows: the gap is an expression of the row
+# (purchase/signup keep a session alive 60 minutes, everything else 30) —
+# Spark's dynamic `session_window(ts, gapExpr)`. The fixed-gap lag test
+# (q43) is WRONG under per-event gaps: a long-gap event can bridge a
+# pause its successor alone would break, so the oracle derives islands
+# from the running MAX of event-interval ends over strictly-preceding
+# rows (new session iff ts >= max prior end — Spark's exclusive window
+# end). Same scale shape as q43: one shuffle on user_id, state bounded
+# per key.
+# ---------------------------------------------------------------------------
+
+_LONG_GAP_TYPES = ("purchase", "signup")
+
+
+@register(
+    "q244_dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type IN {_LONG_GAP_TYPES!r}
+                       THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ev_end
+      FROM events
+    ), seq AS (
+      SELECT *, MAX(ev_end) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      FROM g
+    ), marked AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ev_end), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def q244_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin(*_LONG_GAP_TYPES), F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), exact_sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), _TS_FMT).alias("session_start"),
+            F.date_format(F.col("sw.end"), _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
