@@ -199,3 +199,73 @@ def test_q234_theil_sen_between_extreme_slopes(spark):
         ]
         assert min(slopes) - 1e-6 <= got[et].theil_sen_slope <= max(slopes) + 1e-6
         assert got[et].n_days == len(pts)
+
+
+def test_q229_acf_matches_numpy_reference(spark):
+    """ACF values must agree with an independent numpy computation over
+    the same daily series (catches sign/lag-direction mistakes the
+    oracle, which shares the formulation, cannot)."""
+    import numpy as np
+
+    from hive_feature_demo_spark.plans.pipeline_ops import (
+        _daily,
+        q229_daily_autocorrelation,
+    )
+
+    daily = sorted(_daily(spark, SF_DIR).collect(), key=lambda r: r.day)
+    days = [r.day.toordinal() for r in daily]
+    x = np.array([r.rev for r in daily])
+    m = x.mean()
+    den = ((x - m) ** 2).sum()
+    got = {r.lag: r.acf for r in q229_daily_autocorrelation(spark, SF_DIR).collect()}
+    for lag in range(1, 8):
+        # pairs matched on CALENDAR offset, like the query
+        idx = {d: i for i, d in enumerate(days)}
+        num = sum(
+            (x[idx[d]] - m) * (x[idx[d - lag]] - m) for d in days if d - lag in idx
+        )
+        assert got[lag] == pytest.approx(num / den, abs=1e-4)
+
+
+def test_q231_zipf_slope_matches_polyfit(spark):
+    """The moment-sum OLS must agree with numpy.polyfit on the same
+    (ln rank, ln freq) points."""
+    import numpy as np
+
+    from hive_feature_demo_spark.plans.pipeline_ops import q231_zipf_slope
+
+    row = q231_zipf_slope(spark, SF_DIR).first()
+    docs = table(spark, SF_DIR, "documents").select("text").collect()
+    import collections
+    import re
+
+    tf = collections.Counter(
+        t for r in docs for t in re.findall(r"[a-z0-9]+", r.text.lower())
+    )
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    xs = np.log(np.arange(1, len(top) + 1, dtype=float))
+    ys = np.log(np.array([c for _, c in top], dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert row.n_terms == len(top)
+    assert row.slope == pytest.approx(slope, abs=1e-4)
+    assert row.intercept == pytest.approx(intercept, abs=1e-4)
+    assert row.slope < 0  # Zipf: frequency decays with rank
+
+
+def test_q244_dynamic_gap_bridges_what_fixed_gap_breaks(spark):
+    """A purchase's 60-minute window must bridge a 45-minute pause that
+    the fixed 30-minute session (q43) breaks — the defining behavior of
+    the dynamic gap."""
+    from hive_feature_demo_spark.plans.streaming_batch import (
+        q43_session_window_native,
+        q244_dynamic_gap_sessions,
+    )
+
+    fixed = q43_session_window_native(spark, SF_DIR).groupBy("user_id").count()
+    dyn = q244_dynamic_gap_sessions(spark, SF_DIR).groupBy("user_id").count()
+    f = {r.user_id: r["count"] for r in fixed.collect()}
+    d = {r.user_id: r["count"] for r in dyn.collect()}
+    # longer gaps can only merge sessions, never split them
+    assert all(d[u] <= f[u] for u in f)
+    # and at least one user actually bridged a pause (non-degenerate data)
+    assert any(d[u] < f[u] for u in f)
