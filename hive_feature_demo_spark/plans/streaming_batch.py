@@ -1034,3 +1034,94 @@ def q244_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q245 — REAL incremental run of the DYNAMIC-gap session windows (q244's
+# semantics through the streaming engine): watermarked APPEND mode, each
+# session emitted exactly once when the watermark passes its end, state
+# evicted. Same flush-sentinel replay protocol as q131 (the sentinel's
+# far-future row advances event time past every real session's end; its
+# own session can never close, so append never emits it). The oracle is
+# q244's running-max-end island derivation — the streaming engine must
+# agree with the batch dynamic-gap merge bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q245_streaming_dynamic_gap_sessions",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             ts + CASE WHEN event_type IN {_LONG_GAP_TYPES!r}
+                       THEN INTERVAL 60 MINUTE
+                       ELSE INTERVAL 30 MINUTE END AS ev_end
+      FROM events
+    ), seq AS (
+      SELECT *, MAX(ev_end) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      FROM g
+    ), marked AS (
+      SELECT *, CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ev_end), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           {sql_exact_sum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_start
+    """,
+    category="streaming",
+)
+def q245_streaming_dynamic_gap_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _streamed_events(spark, sf_dir)
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_dir = tempfile.mkdtemp(prefix="q245_flush_")
+    spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
+    flush_stream = spark.readStream.schema(
+        spark.read.parquet(flush_dir).schema
+    ).parquet(flush_dir)
+    gap = F.when(
+        F.col("event_type").isin(*_LONG_GAP_TYPES), F.lit("60 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        events.unionByName(flush_stream)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), exact_sum("value", "session_value"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", _TS_FMT).alias("session_start"),
+            F.date_format("sw.end", _TS_FMT).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    name = f"q245_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(agg, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
