@@ -1085,3 +1085,246 @@ def q243_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — funnel time-to-convert percentiles: for the users who complete
+# q90's ordered funnel (view -> later click -> later purchase), the P50
+# and P90 of each stage latency, by deterministic SELECTION (row_number
+# at ceil(q*n), ties by user_id — no interpolation). The chain stays
+# co-partitioned on user_id end-to-end; the final ranking runs on the
+# converted-user aggregate (one row per user), never on raw events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q246_funnel_latency_percentiles",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) FILTER (event_type = 'view') AS t_view
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id, v.t_view
+    ), p AS (
+      SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id, c.t_view, c.t_click
+    ), lat AS (
+      SELECT user_id,
+             (epoch_us(t_click) - epoch_us(t_view)) / 1000000.0 AS click_s,
+             (epoch_us(t_purchase) - epoch_us(t_click)) / 1000000.0 AS purch_s,
+             COUNT(*) OVER () AS n,
+             ROW_NUMBER() OVER (ORDER BY (epoch_us(t_click) - epoch_us(t_view)),
+                                user_id) AS r_click,
+             ROW_NUMBER() OVER (ORDER BY (epoch_us(t_purchase) - epoch_us(t_click)),
+                                user_id) AS r_purch
+      FROM p
+    )
+    SELECT MAX(n) AS n_converted,
+           {sql_round_det("MAX(CASE WHEN r_click = CAST(CEIL(n * 0.5) AS BIGINT) THEN click_s END)", 6)} AS click_p50_s,
+           {sql_round_det("MAX(CASE WHEN r_click = CAST(CEIL(n * 0.9) AS BIGINT) THEN click_s END)", 6)} AS click_p90_s,
+           {sql_round_det("MAX(CASE WHEN r_purch = CAST(CEIL(n * 0.5) AS BIGINT) THEN purch_s END)", 6)} AS purch_p50_s,
+           {sql_round_det("MAX(CASE WHEN r_purch = CAST(CEIL(n * 0.9) AS BIGINT) THEN purch_s END)", 6)} AS purch_p90_s
+    FROM lat
+    """,
+    category="stats",
+)
+def q246_funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    click_s = (epoch_micros("t_click") - epoch_micros("t_view")).cast(
+        "double"
+    ) / 1e6
+    purch_s = (epoch_micros("t_purchase") - epoch_micros("t_click")).cast(
+        "double"
+    ) / 1e6
+    lat = p.select(
+        "user_id", click_s.alias("click_s"), purch_s.alias("purch_s")
+    )
+    w_all = Window.partitionBy()
+    w_click = Window.orderBy("click_s", "user_id")
+    w_purch = Window.orderBy("purch_s", "user_id")
+    ranked = lat.select(
+        "click_s",
+        "purch_s",
+        F.count("*").over(w_all).alias("n"),
+        F.row_number().over(w_click).alias("r_click"),
+        F.row_number().over(w_purch).alias("r_purch"),
+    )
+
+    def _pick(rcol: str, vcol: str, q: float):
+        return F.max(
+            F.when(
+                F.col(rcol) == F.ceil(F.col("n") * q).cast("long"), F.col(vcol)
+            )
+        )
+
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        round_det(_pick("r_click", "click_s", 0.5), 6).alias("click_p50_s"),
+        round_det(_pick("r_click", "click_s", 0.9), 6).alias("click_p90_s"),
+        round_det(_pick("r_purch", "purch_s", 0.5), 6).alias("purch_p50_s"),
+        round_det(_pick("r_purch", "purch_s", 0.9), 6).alias("purch_p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q247 — order inter-arrival burstiness per market segment: per customer
+# with >= 3 orders, the gaps (days) between consecutive orders give mean
+# and std; burstiness B = (sigma - mu) / (sigma + mu) in [-1, 1] (B -> -1
+# periodic, 0 Poisson, -> 1 bursty). Per-customer windows partition on
+# custkey; the segment rollup averages B in exact decimal space. Gaps are
+# integer day counts, so the per-customer moments are exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q247_interarrival_burstiness",
+    oracle=f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ), gaps AS (
+      SELECT o_custkey,
+             CAST(datediff('day', prev_d, o_orderdate) AS DOUBLE) AS gap_d
+      FROM seq WHERE prev_d IS NOT NULL
+    ), cust AS (
+      SELECT o_custkey, COUNT(*) AS n_gaps,
+             {sql_exact_sum("gap_d")} / COUNT(*) AS mu,
+             SQRT(({sql_exact_sum("gap_d * gap_d")}
+                   - {sql_exact_sum("gap_d")} * {sql_exact_sum("gap_d")} / COUNT(*))
+                  / COUNT(*)) AS sigma
+      FROM gaps GROUP BY o_custkey
+      HAVING COUNT(*) >= 2
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_round_det(
+               "CAST(SUM(CAST((sigma - mu) / (sigma + mu) AS DECIMAL(25,10))) AS DOUBLE)"
+               " / COUNT(*)", 6)} AS avg_burstiness
+    FROM cust JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    category="stats",
+)
+def q247_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_d"),
+    )
+    gaps = seq.filter(F.col("prev_d").isNotNull()).select(
+        "o_custkey",
+        F.datediff("o_orderdate", "prev_d").cast("double").alias("gap_d"),
+    )
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (exact_sum("gap_d") / F.count("*")).alias("mu"),
+            F.sqrt(
+                (
+                    exact_sum(F.col("gap_d") * F.col("gap_d"))
+                    - exact_sum("gap_d") * exact_sum("gap_d") / F.count("*")
+                )
+                / F.count("*")
+            ).alias("sigma"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    b = (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu"))
+    return (
+        per_cust.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            per_cust["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            round_det(
+                F.sum(b.cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("avg_burstiness"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — duplicate-cluster size histogram: the dedup REPORT a corpus
+# owner reads — for each exact-dup cluster size (q30's normalized-md5
+# digest), how many clusters, how many documents, and how many rows
+# dedup would delete. Two narrow groupBys (digest, then size); only
+# 16-byte digests shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q248_dup_cluster_histogram",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+             COUNT(*) AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+    category="llmops",
+)
+def q248_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.textops import normalized_md5
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(normalized_md5("text").alias("digest")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
