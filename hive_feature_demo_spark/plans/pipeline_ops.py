@@ -1328,3 +1328,140 @@ def q248_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — IVF-cell closest-pair report (the SemDeDup shape): assign every
+# embedding to its nearest coarse centroid (broadcast, no shuffle of the
+# corpus side), then find each cell's closest pair by exact cosine. This
+# is semantic dedup's candidate stage — at threshold-based deletion the
+# filter is `cos >= tau` within the cell; the shipped embeddings are
+# near-orthogonal (max within-cell cosine ~0.49), so the report form
+# surfaces the per-cell maxima instead of an empty thresholded set,
+# keeping the operator observable. Pair cost is sum of cell_size^2 —
+# bounded by the coarse quantizer, never corpus^2.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q249_ivf_cell_closest_pairs",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 16
+    ), vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), lists AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vecs.vec_id, vecs.v, cent.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vecs.vec_id
+                 ORDER BY {sql_round_det("list_distance(vecs.v, cent.cv)", 6)}, cent.cid
+               ) AS rn
+        FROM vecs, cent)
+      WHERE rn = 1
+    ), pairs AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+             {sql_round_det(
+                 "list_dot_product(a.v, b.v)"
+                 " / (sqrt(list_dot_product(a.v, a.v))"
+                 " * sqrt(list_dot_product(b.v, b.v)))", 4)} AS cos_sim
+      FROM lists a JOIN lists b USING (cid)
+      WHERE a.vec_id < b.vec_id
+    ), top AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY cid ORDER BY cos_sim DESC, id_a, id_b) AS rn
+      FROM pairs
+    ), sizes AS (SELECT cid, COUNT(*) AS n_vecs FROM lists GROUP BY cid)
+    SELECT t.cid, s.n_vecs, t.id_a, t.id_b, t.cos_sim AS max_cos
+    FROM top t JOIN sizes s USING (cid)
+    WHERE t.rn = 1
+    ORDER BY t.cid
+    """,
+    category="ann",
+)
+def q249_ivf_cell_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 16)
+    assigned = similarity.ivf_assign(emb, cent, nprobe=1).localCheckpoint(
+        eager=True
+    )
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("v_vec").alias("va")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("v_vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cid",
+            "id_a",
+            "id_b",
+            round_det(
+                similarity.cosine(F.col("va"), F.col("vb")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cos_sim"), "id_a", "id_b")
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    return (
+        top.join(sizes, "cid")
+        .select("cid", "n_vecs", "id_a", "id_b", F.col("cos_sim").alias("max_cos"))
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — l-diversity privacy audit: for each quasi-identifier group
+# (nation, market segment), how many distinct sensitive values (account
+# balance band) appear. Groups with l < 3 are attribute-disclosure risks
+# even when k-anonymous (q140 enforces k; this audits the orthogonal
+# failure mode). One grouped distinct-count over the dimension table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q250_l_diversity_audit",
+    oracle="""
+    WITH banded AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS n_members,
+           COUNT(DISTINCT bal_band) AS l_diversity,
+           (COUNT(DISTINCT bal_band) < 3) AS at_risk
+    FROM banded
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    category="curation",
+)
+def q250_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    banded = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    )
+    return (
+        banded.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.countDistinct("bal_band").alias("l_diversity"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_members",
+            "l_diversity",
+            (F.col("l_diversity") < 3).alias("at_risk"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
