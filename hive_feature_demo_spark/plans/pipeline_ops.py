@@ -1465,3 +1465,166 @@ def q250_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — OHLC candles per (event_type, day): open/close picked by
+# row_number over (ts, event_id) within the candle (first/last event's
+# value — fully tie-broken), high/low/volume/total as plain aggregates.
+# The financial time-series compaction shape: one window + one groupBy,
+# both partitioned on the candle key, map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q251_ohlc_candles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS volume,
+           {sql_round_det(sql_exact_sum("value"), 6)} AS total_value
+    FROM ranked
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+    category="stats",
+)
+def q251_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    w_a = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = e.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count("*").alias("volume"),
+            round_det(exact_sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — seasonal-baseline anomaly detection: per (event_type,
+# day-of-week), the MEDIAN daily revenue and its MAD (both by integer
+# row_number selection — no interpolation) form the robust expected
+# band; days where |rev - median| > 3 * MAD are anomalies. Day-of-week
+# seasonality + robust statistics, all on the O(days x types) aggregated
+# series. Day-of-week is 0=Sunday on both engines (DuckDB dayofweek ==
+# Spark dayofweek - 1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q252_seasonal_anomalies",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow,
+             {sql_round_det(sql_exact_sum("value"), 6)} AS rev
+      FROM events GROUP BY 1, 2, 3
+    ),
+    med AS (
+      SELECT event_type, dow, rev AS med FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                                     ORDER BY rev, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, dow) AS n
+        FROM daily)
+      WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)
+    ),
+    dev AS (
+      SELECT d.event_type, d.dow, d.day, d.rev, m.med,
+             ABS(d.rev - m.med) AS adev
+      FROM daily d JOIN med m USING (event_type, dow)
+    ),
+    mad AS (
+      SELECT event_type, dow, adev AS mad FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                                     ORDER BY adev, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, dow) AS n
+        FROM dev)
+      WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)
+    )
+    SELECT d.event_type, d.day, d.rev,
+           {sql_round_det("d.med", 6)} AS baseline_median,
+           {sql_round_det("m.mad", 6)} AS baseline_mad,
+           {sql_round_det("d.adev", 6)} AS abs_deviation
+    FROM dev d JOIN mad m USING (event_type, dow)
+    WHERE d.adev > 3 * m.mad
+    ORDER BY d.event_type, d.day
+    """,
+    category="stats",
+)
+def q252_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            (F.dayofweek(F.to_date("ts")) - 1).alias("dow"),
+        )
+        .agg(round_det(exact_sum("value"), 6).alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _selection_median(df, val_col: str, out_col: str):
+        w_r = Window.partitionBy("event_type", "dow").orderBy(val_col, "day")
+        w_n = Window.partitionBy("event_type", "dow")
+        return (
+            df.select(
+                "event_type",
+                "dow",
+                F.col(val_col),
+                F.row_number().over(w_r).alias("rn"),
+                F.count("*").over(w_n).alias("n"),
+            )
+            .filter(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"))
+            .select("event_type", "dow", F.col(val_col).alias(out_col))
+        )
+
+    med = _selection_median(daily, "rev", "med")
+    dev = daily.join(F.broadcast(med), ["event_type", "dow"]).select(
+        "event_type",
+        "dow",
+        "day",
+        "rev",
+        "med",
+        F.abs(F.col("rev") - F.col("med")).alias("adev"),
+    )
+    mad = _selection_median(dev, "adev", "mad")
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "dow"])
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "day",
+            "rev",
+            round_det("med", 6).alias("baseline_median"),
+            round_det("mad", 6).alias("baseline_mad"),
+            round_det("adev", 6).alias("abs_deviation"),
+        )
+        .orderBy("event_type", "day")
+    )
