@@ -1628,3 +1628,103 @@ def q252_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — q-gram-pruned fuzzy join: supplier-name pairs within edit
+# distance 2 (same nation), with the O(block^2) levenshtein cross
+# replaced by positional-multiset bigram pruning — the classic
+# similarity-join bound: edit(a,b) <= t implies the MULTISET bigram
+# intersection >= max(|a|,|b|) - 1 - t*q (q=2, t=2). Multiset
+# intersection distributes as an equi-join on (bigram, occurrence
+# ordinal); only pairs passing the count bound reach the exact
+# levenshtein verify. tests/test_pipeline_ops.py proves the pruned set
+# equals brute force. At 100 TB the exact all-pairs (the oracle's
+# formulation, like q95's t=3 variant) is the thing this operator
+# AVOIDS: candidates shuffle on short (bigram, ordinal) keys instead.
+# All shipped names are length 18, so the bound is always positive; a
+# production build would fall back to per-length-bucket cross joins for
+# strings shorter than (1 + t*q + 1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q253_qgram_fuzzy_join",
+    oracle="""
+    SELECT a.s_nationkey AS nationkey,
+           a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    ORDER BY nationkey, key_a, key_b
+    """,
+    category="relational",
+)
+def q253_qgram_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    # positional-multiset bigrams: (name, bigram, ordinal-of-occurrence)
+    grams = (
+        s.select(
+            "s_suppkey",
+            "s_nationkey",
+            "s_name",
+            F.length("s_name").alias("len"),
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, length(s_name) - 1),"
+                    " i -> substring(s_name, i, 2))"
+                )
+            ).alias("pos", "bigram"),
+        )
+        .withColumn(
+            "ordinal",
+            F.row_number().over(
+                Window.partitionBy("s_suppkey", "bigram").orderBy("pos")
+            ),
+        )
+    )
+    a = grams.select(
+        F.col("s_suppkey").alias("key_a"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_name").alias("name_a"),
+        F.col("len").alias("len_a"),
+        "bigram",
+        "ordinal",
+    )
+    b = grams.select(
+        F.col("s_suppkey").alias("key_b"),
+        F.col("s_nationkey").alias("nk_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("len").alias("len_b"),
+        "bigram",
+        "ordinal",
+    )
+    # the sound count bound: common >= max(len) - 1 - t*q with t=2, q=2
+    cand = (
+        a.join(b, ["bigram", "ordinal"])
+        .filter(
+            (F.col("nationkey") == F.col("nk_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+        )
+        .groupBy(
+            "nationkey", "key_a", "key_b", "name_a", "name_b", "len_a", "len_b"
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(
+            F.col("n_common")
+            >= F.greatest("len_a", "len_b") - F.lit(1) - F.lit(4)
+        )
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(dist <= 2)
+        .select(
+            "nationkey",
+            "key_a",
+            "key_b",
+            dist.cast("long").alias("edit_dist"),
+        )
+        .orderBy("nationkey", "key_a", "key_b")
+    )
