@@ -99,3 +99,45 @@ def skyline_2d(df: DataFrame, part_col: str, x_col: str, y_col: str) -> DataFram
         (F.col("_max_y_gt_x").isNull() | (F.col(y_col) > F.col("_max_y_gt_x")))
         & (F.col(y_col) == F.col("_max_y_eq_x"))
     ).drop("_max_y_gt_x", "_max_y_eq_x")
+
+
+def k_core_rounds(pairs: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop nodes with degree
+    < ``k`` in the surviving subgraph, a FIXED number of rounds (engine-
+    reproducible — the full fixpoint is data-dependent; callers pin
+    ``rounds`` and surface a convergence flag instead). Returns
+    ``(user_id, core_degree, stable)``: the survivors after the last
+    peel, their degree within the surviving set, and whether they still
+    meet the bar (all-true == converged). Each round is one degree
+    aggregation over the (checkpointed) edge list — O(E) per round,
+    shuffling only integer ids.
+    """
+    e = (
+        pairs.select(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .unionAll(pairs.select(F.col("ub").alias("u"), F.col("ua").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    alive = e.select("u").distinct()
+    for _ in range(rounds):
+        deg = (
+            e.join(alive.withColumnRenamed("u", "au"), F.col("u") == F.col("au"))
+            .drop("au")
+            .join(alive.withColumnRenamed("u", "av"), F.col("v") == F.col("av"))
+            .drop("av")
+            .groupBy("u")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+    final_deg = (
+        e.join(alive.withColumnRenamed("u", "au"), F.col("u") == F.col("au"))
+        .drop("au")
+        .join(alive.withColumnRenamed("u", "av"), F.col("v") == F.col("av"))
+        .drop("av")
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    return alive.join(final_deg, "u", "left").select(
+        F.col("u").alias("user_id"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("core_degree"),
+        (F.coalesce(F.col("d"), F.lit(0)) >= k).alias("stable"),
+    )

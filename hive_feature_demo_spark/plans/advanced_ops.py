@@ -1730,3 +1730,55 @@ def q227_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), gini.alias("gini"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q254 — bounded-round 2-core decomposition of the session-overlap graph:
+# repeatedly peel nodes with fewer than 2 surviving neighbors, 3 fixed
+# rounds (the full fixpoint is data-dependent; the `stable` flag reports
+# per-node convergence, all-true == the peel converged). The community-
+# skeleton extraction that precedes clustering at scale: each round is
+# one integer-keyed degree aggregation over the checkpointed edge list.
+# Completes the graph family: CC (q127), PageRank (q162), label
+# propagation (q185), triangles (q186), k-core (here).
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 3
+
+
+def _q254_oracle() -> str:
+    rounds = "".join(
+        f"""
+    d{t} AS (
+      SELECT e.u, COUNT(*) AS d
+      FROM e JOIN a{t - 1} x ON e.u = x.u JOIN a{t - 1} y ON e.v = y.u
+      GROUP BY e.u
+    ),
+    a{t} AS (SELECT u FROM d{t} WHERE d >= 2),"""
+        for t in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+    {_SESS_SQL},
+    e AS (SELECT ua AS u, ub AS v FROM pairs
+          UNION ALL SELECT ub, ua FROM pairs),
+    a0 AS (SELECT DISTINCT u FROM e),{rounds}
+    df AS (
+      SELECT e.u, COUNT(*) AS d
+      FROM e JOIN a{_KCORE_ROUNDS} x ON e.u = x.u
+             JOIN a{_KCORE_ROUNDS} y ON e.v = y.u
+      GROUP BY e.u
+    )
+    SELECT a.u AS user_id,
+           CAST(COALESCE(df.d, 0) AS BIGINT) AS core_degree,
+           COALESCE(df.d, 0) >= 2 AS stable
+    FROM a{_KCORE_ROUNDS} a LEFT JOIN df ON df.u = a.u
+    ORDER BY user_id
+    """
+
+
+@register("q254_kcore_decomposition", oracle=_q254_oracle(), category="relational")
+def q254_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.graph_ops import k_core_rounds
+
+    pairs = _overlap_edges(spark, sf_dir)
+    return k_core_rounds(pairs, k=2, rounds=_KCORE_ROUNDS).orderBy("user_id")
