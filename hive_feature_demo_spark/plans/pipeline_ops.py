@@ -1728,3 +1728,58 @@ def q253_qgram_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey", "key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — transition dwell-time matrix: mean seconds spent between
+# consecutive events per (from_type -> to_type) transition, per user
+# stream — the duration companion to q205's Markov transition COUNTS
+# (where a user goes vs how long they linger before going). One lead()
+# window partitioned by user_id; epoch math through the NTZ-safe helper.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q255_transition_dwell_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type, ts,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions,
+           {sql_round_det(
+               sql_exact_sum("(epoch_us(next_ts) - epoch_us(ts)) / 1000000.0")
+               + " / COUNT(*)", 6)} AS mean_dwell_s,
+           {sql_round_det("MAX((epoch_us(next_ts) - epoch_us(ts)) / 1000000.0)", 6)}
+             AS max_dwell_s
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY from_type, to_type
+    """,
+    category="stats",
+)
+def q255_transition_dwell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        "ts",
+        F.lead("event_type").over(w).alias("to_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("to_type").isNotNull())
+    dwell = (epoch_micros("next_ts") - epoch_micros("ts")).cast("double") / 1e6
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            round_det(exact_sum(dwell) / F.count("*"), 6).alias("mean_dwell_s"),
+            round_det(F.max(dwell), 6).alias("max_dwell_s"),
+        )
+        .orderBy("from_type", "to_type")
+    )
