@@ -1783,3 +1783,93 @@ def q255_transition_dwell_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — ISO-week revenue rollup with week-over-week growth: one grouped
+# pass to weekly totals (exact decimal), one lag window over the
+# O(weeks) series. ISO week/year on both engines (Spark YEAROFWEEK ==
+# DuckDB isoyear; weekofyear is ISO on both), so the Jan-1 boundary
+# weeks land identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q256_weekly_growth",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT isoyear(CAST(ts AS DATE)) AS iso_year,
+             weekofyear(CAST(ts AS DATE)) AS iso_week,
+             COUNT(*) AS n_events,
+             {sql_round_det(sql_exact_sum("value"), 6)} AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(iso_year AS BIGINT) AS iso_year,
+           CAST(iso_week AS BIGINT) AS iso_week, n_events, rev,
+           {sql_round_det(
+               "COALESCE((rev - LAG(rev) OVER (ORDER BY iso_year, iso_week))"
+               " / LAG(rev) OVER (ORDER BY iso_year, iso_week) * 100.0, 0.0)", 6)}
+             AS wow_growth_pct
+    FROM weekly
+    ORDER BY iso_year, iso_week
+    """,
+    category="stats",
+)
+def q256_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.expr("extract(yearofweek FROM to_date(ts))").cast("long").alias("iso_year"),
+        F.weekofyear(F.to_date("ts")).cast("long").alias("iso_week"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        round_det(exact_sum("value"), 6).alias("rev"),
+    )
+    w = Window.orderBy("iso_year", "iso_week")
+    prev = F.lag("rev").over(w)
+    return weekly.select(
+        "iso_year",
+        "iso_week",
+        "n_events",
+        "rev",
+        round_det(
+            F.coalesce((F.col("rev") - prev) / prev * 100.0, F.lit(0.0)), 6
+        ).alias("wow_growth_pct"),
+    ).orderBy("iso_year", "iso_week")
+
+
+# ---------------------------------------------------------------------------
+# q257 — per-source document-length log2 histogram: the corpus
+# profiling view (is src7 full of stubs? does src12 have megadocs?).
+# Bucket = floor(log2(n_chars)) — same libm log on identical integer
+# inputs on both engines. One grouped count; no data movement beyond
+# the (source, bucket) keys.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q257_length_log_histogram",
+    oracle="""
+    SELECT source,
+           CAST(FLOOR(log2(n_chars)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY source, log2_bucket
+    ORDER BY source, log2_bucket
+    """,
+    category="textstats",
+)
+def q257_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.floor(F.log2("n_chars")).cast("long")
+    return (
+        d.groupBy("source", bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "log2_bucket")
+    )
