@@ -339,3 +339,33 @@ def test_q253_pruning_is_lossless_and_effective(spark):
         (r.key_a, r.key_b) for r in q253_qgram_fuzzy_join(spark, tmp).collect()
     }
     assert pairs == {(1, 3)}  # edit 2 kept; edit 9 pruned before verify
+
+
+def test_q254_kcore_matches_python_peel(spark):
+    """The 3-round distributed peel must equal a plain-Python peel of
+    the same edge set, and every surviving node's degree must count
+    only surviving neighbors."""
+    from hive_feature_demo_spark.plans.advanced_ops import (
+        _KCORE_ROUNDS,
+        _overlap_edges,
+        q254_kcore_decomposition,
+    )
+
+    edges = [(r.ua, r.ub) for r in _overlap_edges(spark, SF_DIR).collect()]
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(_KCORE_ROUNDS):
+        deg = {u: sum(1 for v in adj[u] if v in alive) for u in alive}
+        alive = {u for u in alive if deg[u] >= 2}
+    final_deg = {u: sum(1 for v in adj[u] if v in alive) for u in alive}
+    got = {
+        r.user_id: (r.core_degree, r.stable)
+        for r in q254_kcore_decomposition(spark, SF_DIR).collect()
+    }
+    assert set(got) == alive
+    for u, (d, stable) in got.items():
+        assert d == final_deg[u]
+        assert stable == (d >= 2)
