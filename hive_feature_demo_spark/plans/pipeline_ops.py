@@ -1873,3 +1873,162 @@ def q257_length_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — join-skew advisor: per candidate shuffle key, the statistics
+# that decide the salting strategy BEFORE running the big join — top-key
+# share, p99-key/median-key ratio (selection-based), and the recommended
+# salt factor ceil(max_key_rows / avg_key_rows) that q102's salted join
+# would consume. Two grouped passes over key counts; the planning aid
+# the 100 TB operator runs at ingest time, not debug time.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q258_join_skew_advisor",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey AS key, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c, key) AS rn,
+             COUNT(*) OVER () AS n
+      FROM counts
+    ),
+    sel AS (
+      SELECT MAX(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN c END) AS med_c,
+             MAX(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN c END) AS p99_c
+      FROM ranked
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_keys, SUM(c) AS n_rows, MAX(c) AS max_c
+      FROM counts
+    )
+    SELECT a.n_keys, CAST(a.n_rows AS BIGINT) AS n_rows, a.max_c,
+           s.med_c, s.p99_c,
+           {sql_round_det("a.max_c * a.n_keys / CAST(a.n_rows AS DOUBLE)", 6)}
+             AS max_over_avg,
+           CAST(CEIL(a.max_c * a.n_keys / CAST(a.n_rows AS DOUBLE)) AS BIGINT)
+             AS recommended_salt
+    FROM agg a, sel s
+    """,
+    category="relational",
+)
+def q258_join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=True)
+    w_r = Window.orderBy("c", "key")
+    w_n = Window.partitionBy()
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w_r).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    sel = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"), F.col("c"))
+        ).alias("med_c"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.99).cast("long"), F.col("c"))
+        ).alias("p99_c"),
+    )
+    agg = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").alias("max_c"),
+    )
+    ratio = F.col("max_c") * F.col("n_keys") / F.col("n_rows").cast("double")
+    return agg.crossJoin(F.broadcast(sel)).select(
+        "n_keys",
+        "n_rows",
+        "max_c",
+        "med_c",
+        "p99_c",
+        round_det(ratio, 6).alias("max_over_avg"),
+        F.ceil(ratio).cast("long").alias("recommended_salt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — incremental-ingest dedup: the daily-batch shape — treat sources
+# src10..src19 as the NEW batch and src0..src9 as the existing corpus;
+# report, per new source, how many docs are exact duplicates of the
+# corpus (digest anti-join), duplicates within the batch itself (first
+# occurrence survives), and net-new docs. Only 16-byte digests shuffle;
+# the corpus side reduces to its distinct digest set before the join —
+# at 100 TB that digest index is what an ingest pipeline keeps hot.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q259_incremental_dedup_ingest",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS digest,
+             (source SIMILAR TO 'src1[0-9]') AS is_new
+      FROM documents
+    ),
+    corpus AS (SELECT DISTINCT digest FROM keyed WHERE NOT is_new),
+    batch AS (
+      SELECT k.*,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.digest = k.digest)
+               AS dup_vs_corpus,
+             ROW_NUMBER() OVER (PARTITION BY k.digest ORDER BY k.doc_id) AS occ
+      FROM keyed k WHERE is_new
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN dup_vs_corpus THEN 1 ELSE 0 END) AS n_dup_vs_corpus,
+           SUM(CASE WHEN NOT dup_vs_corpus AND occ > 1 THEN 1 ELSE 0 END)
+             AS n_dup_in_batch,
+           SUM(CASE WHEN NOT dup_vs_corpus AND occ = 1 THEN 1 ELSE 0 END)
+             AS n_net_new
+    FROM batch
+    GROUP BY source
+    ORDER BY source
+    """,
+    category="llmops",
+)
+def q259_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.textops import normalized_md5
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        normalized_md5("text").alias("digest"),
+        F.col("source").rlike("^src1[0-9]$").alias("is_new"),
+    )
+    corpus = d.filter(~F.col("is_new")).select("digest").distinct()
+    batch = d.filter(F.col("is_new"))
+    flagged = batch.join(
+        corpus.withColumnRenamed("digest", "c_digest"),
+        batch["digest"] == F.col("c_digest"),
+        "left",
+    ).select(
+        "doc_id",
+        "source",
+        "digest",
+        F.col("c_digest").isNotNull().alias("dup_vs_corpus"),
+    )
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    occ = flagged.withColumn("occ", F.row_number().over(w))
+    return (
+        occ.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("dup_vs_corpus"), 1).otherwise(0)).alias(
+                "n_dup_vs_corpus"
+            ),
+            F.sum(
+                F.when(~F.col("dup_vs_corpus") & (F.col("occ") > 1), 1).otherwise(0)
+            ).alias("n_dup_in_batch"),
+            F.sum(
+                F.when(~F.col("dup_vs_corpus") & (F.col("occ") == 1), 1).otherwise(0)
+            ).alias("n_net_new"),
+        )
+        .orderBy("source")
+    )
