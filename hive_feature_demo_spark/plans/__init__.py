@@ -8,6 +8,7 @@ it through ``queries()`` / ``oracle_sql()``.
 from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     advanced_ops,
     ann,
+    audit_ops,
     engine_features,
     curation,
     llmops,

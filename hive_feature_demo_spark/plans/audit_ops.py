@@ -1,0 +1,874 @@
+"""Data-audit operator family: Benford's-law screening, keyset pagination,
+cross-table reconciliation, streak mining, boilerplate n-gram detection,
+vocabulary-richness profiling, and SLA latency compliance.
+
+Reference analogue: SURVEY.md §2.3 (Layer B data-quality / pipeline brief) —
+the reference has no audit surface (`/root/reference/backend/tools.py:60-81`
+is its whole analytic engine); these are the checks a production ingest of
+the reference's star schema (`/root/reference/SCALING.md:24-32`) would run.
+
+Determinism rules as everywhere in this repo: money sums in exact
+decimal/fixed-point space, first digits extracted through integer/string
+space (never via log10, whose floor can straddle a ULP), share metrics in
+exact integer basis points, and final doubles floor-rounded via round_det
+so Spark and the DuckDB oracle emit identical bits.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.functions.numeric import (
+    round_det,
+    sql_exact_sum,
+    sql_round_det,
+)
+from hive_feature_demo_spark.plans.registry import register
+
+_DEC = "decimal(25,10)"
+
+
+# ---------------------------------------------------------------------------
+# q260 — Benford first-digit audit of o_totalprice: observed first-digit
+# distribution vs the Benford expectation log10(1 + 1/d). Fabricated or
+# re-binned monetary columns drift from Benford; this is the standard
+# one-pass forensic screen. The first digit is taken through integer ->
+# string space (floor then substr), NOT floor(log10(x)) — on values a ULP
+# below a power of ten the two engines' log10 could floor differently,
+# while integer formatting is exact on both. Expected frequencies are
+# 9 precomputed literals (broadcast), so the only wide op is one
+# map-side-combinable groupBy over 9 keys; at 100 TB this is a scan plus
+# a 9-row shuffle.
+# ---------------------------------------------------------------------------
+
+_BENFORD = [(d, math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5) / 1e6) for d in range(1, 10)]
+_BENFORD_VALUES = ", ".join(f"({d}, {e})" for d, e in _BENFORD)
+
+
+@register(
+    "q260_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n) AS total FROM obs)
+    SELECT CAST(b.digit AS BIGINT) AS digit,
+           COALESCE(o.n, 0) AS n,
+           {sql_round_det("COALESCE(o.n, 0) / CAST(t.total AS DOUBLE)", 6)} AS observed,
+           CAST(b.expected AS DOUBLE) AS expected,
+           {sql_round_det("ABS(COALESCE(o.n, 0) / CAST(t.total AS DOUBLE) - b.expected)", 6)}
+             AS abs_dev
+    FROM (VALUES {_BENFORD_VALUES}) AS b(digit, expected)
+    LEFT JOIN obs o ON o.digit = b.digit
+    CROSS JOIN tot t
+    ORDER BY b.digit
+    """,
+    category="stats",
+)
+def q260_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    total = obs.agg(F.sum("n").alias("total"))
+    benford = spark.createDataFrame(_BENFORD, "digit long, expected double")
+    return (
+        benford.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            round_det(
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("total").cast("double"), 6
+            ).alias("observed"),
+            "expected",
+            round_det(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)) / F.col("total").cast("double")
+                    - F.col("expected")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q261 — keyset pagination: fetch the 3rd 50-row page of orders in
+# (o_orderdate, o_orderkey) order via a cursor predicate, not OFFSET.
+# OFFSET-based paging sorts and discards `offset` rows from every
+# partition on every page; keyset paging turns the page boundary into a
+# pushable tuple predicate `(date, key) > (cursor_date, cursor_key)`, so
+# parquet min/max row-group stats skip everything before the cursor and
+# cost stays O(page) regardless of page number — the only paging pattern
+# that survives a 100 TB fact. The cursor row (rank 100) is resolved
+# first and collected to the driver (one row, bounded).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q261_keyset_pagination",
+    oracle="""
+    WITH cursor_row AS (
+      SELECT o_orderdate AS cd, o_orderkey AS ck
+      FROM orders
+      ORDER BY o_orderdate, o_orderkey
+      LIMIT 1 OFFSET 99
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_custkey, o.o_totalprice
+    FROM orders o, cursor_row c
+    WHERE o.o_orderdate > c.cd
+       OR (o.o_orderdate = c.cd AND o.o_orderkey > c.ck)
+    ORDER BY o.o_orderdate, o.o_orderkey
+    LIMIT 50
+    """,
+    category="relational",
+)
+def q261_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cursor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderdate", "o_orderkey")
+        .limit(100)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )
+    cd, ck = cursor["o_orderdate"], cursor["o_orderkey"]
+    page = o.filter(
+        (F.col("o_orderdate") > F.lit(cd))
+        | ((F.col("o_orderdate") == F.lit(cd)) & (F.col("o_orderkey") > F.lit(ck)))
+    )
+    return (
+        page.select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262 — reconciliation diff: orders.o_totalprice vs the gross amount
+# reconstructed from lineitem (sum of extendedprice, pre-discount), the
+# standard two-system ledger tie-out. A FULL OUTER join on the order key
+# classifies every key into match / amount_mismatch / missing_lineitems /
+# orphan_lineitems and reports per-class counts plus the absolute delta,
+# accumulated in exact decimal space. One co-partitioned shuffle on the
+# join key; the per-order pre-aggregation is map-side combinable, so the
+# join sees one row per order on each side at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q262_reconciliation_diff",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(25,10))) AS li_gross
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    classified AS (
+      SELECT CASE
+               WHEN li.l_orderkey IS NULL THEN 'missing_lineitems'
+               WHEN o.o_orderkey IS NULL THEN 'orphan_lineitems'
+               WHEN CAST(o.o_totalprice AS DECIMAL(25,10)) = li.li_gross THEN 'match'
+               ELSE 'amount_mismatch'
+             END AS status,
+             ABS(COALESCE(CAST(o.o_totalprice AS DECIMAL(25,10)), 0)
+                 - COALESCE(li.li_gross, 0)) AS abs_delta
+      FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status, COUNT(*) AS n,
+           {sql_round_det("CAST(SUM(abs_delta) AS DOUBLE)", 2)} AS total_abs_delta
+    FROM classified GROUP BY status ORDER BY status
+    """,
+    category="relational",
+)
+def q262_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("li_gross"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "full_outer")
+    classified = j.select(
+        F.when(F.col("l_orderkey").isNull(), "missing_lineitems")
+        .when(F.col("o_orderkey").isNull(), "orphan_lineitems")
+        .when(F.col("o_totalprice").cast(_DEC) == F.col("li_gross"), "match")
+        .otherwise("amount_mismatch")
+        .alias("status"),
+        F.abs(
+            F.coalesce(F.col("o_totalprice").cast(_DEC), F.lit(0).cast(_DEC))
+            - F.coalesce(F.col("li_gross"), F.lit(0).cast(_DEC))
+        ).alias("abs_delta"),
+    )
+    return (
+        classified.groupBy("status")
+        .agg(round_det(F.sum("abs_delta").cast("double"), 2).alias("total_abs_delta"), F.count("*").alias("n"))
+        .select("status", "n", "total_abs_delta")
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 — longest same-event-type streak per user: classic gaps-and-islands
+# via the rn_overall - rn_per_type difference trick (two windows, both
+# partitioned on user_id, fully tie-broken by (ts, event_id)), then one
+# grouped count per island and a deterministic top-1 per user (longest,
+# earliest start, then event_type). Everything shuffles once on user_id;
+# island count per user is bounded by that user's event count, never by
+# corpus size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q263_event_streaks",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+      FROM events
+    ),
+    streaks AS (
+      SELECT user_id, event_type, island,
+             COUNT(*) AS streak_len, MIN(ts) AS started
+      FROM marked GROUP BY user_id, event_type, island
+    ),
+    best AS (
+      SELECT user_id, event_type, streak_len, started,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC, started, event_type) AS rn
+      FROM streaks
+    )
+    SELECT user_id, event_type, streak_len, started
+    FROM best WHERE rn = 1 ORDER BY user_id
+    """,
+    category="stats",
+)
+def q263_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    streaks = marked.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("streak_len"), F.min("ts").alias("started")
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), "started", "event_type"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "streak_len", "started")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q264 — boilerplate detection: word 8-grams that repeat across many
+# documents. Within-document repetition is q156's (Gopher) axis; this is
+# the cross-corpus axis — template headers/footers shared by >= 5 docs,
+# counted by DISTINCT containing doc so one spammy doc can't promote its
+# own n-gram; any 8-gram shared by >= 2 distinct docs is flagged (long
+# verbatim spans are near-certain boilerplate). The shingle explode is
+# the only data-expansion (factor ~ tokens/doc); counting shuffles
+# (ngram -> distinct doc) exactly like the MinHash shingle index. At
+# 100 TB the distinct-doc count per n-gram is the standard two-level agg
+# (ngram,doc) -> ngram, both map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q264_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    shingles AS (
+      SELECT doc_id,
+             array_to_string(t[i:i+7], ' ') AS ngram
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    per_doc AS (
+      SELECT DISTINCT doc_id, ngram FROM shingles
+    ),
+    counted AS (
+      SELECT ngram, COUNT(*) AS n_docs FROM per_doc GROUP BY ngram
+    )
+    SELECT ngram, n_docs FROM counted
+    WHERE n_docs >= 2
+    ORDER BY n_docs DESC, ngram
+    """,
+    category="textstats",
+)
+def q264_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0)).alias("t"),
+    ).filter(F.size("t") >= 8)
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 8),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 8)),
+            )
+        ).alias("ngram"),
+    )
+    per_doc = shingles.dropDuplicates(["doc_id", "ngram"])
+    counted = per_doc.groupBy("ngram").agg(F.count("*").alias("n_docs"))
+    return counted.filter(F.col("n_docs") >= 2).orderBy(F.desc("n_docs"), "ngram")
+
+
+# ---------------------------------------------------------------------------
+# q265 — vocabulary-richness profile per source: token volume, distinct
+# vocabulary, hapax legomena (terms seen exactly once in that source),
+# type-token ratio and hapax share. Template-generated text shows low
+# TTR / low hapax share; the cheap lexical-health probe next to q231's
+# Zipf slope. Two-level agg (source,term) -> source; shares in exact
+# integer basis points so both engines emit identical bits.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q265_vocab_richness",
+    oracle="""
+    WITH terms AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS freq FROM terms GROUP BY source, term
+    )
+    SELECT source,
+           SUM(freq) AS n_tokens,
+           COUNT(*) AS n_types,
+           SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(FLOOR(10000.0 * COUNT(*) / SUM(freq)) AS BIGINT) AS ttr_bps,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS hapax_bps
+    FROM tf GROUP BY source ORDER BY source
+    """,
+    category="textstats",
+)
+def q265_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("source", "term").agg(F.count("*").alias("freq"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.floor(10000.0 * F.col("n_types") / F.col("n_tokens"))
+            .cast("long")
+            .alias("ttr_bps"),
+            F.floor(10000.0 * F.col("n_hapax") / F.col("n_types"))
+            .cast("long")
+            .alias("hapax_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q266 — SLA ship-latency compliance per order priority: share of
+# lineitems shipped within 7 / 30 days of order placement, plus the mean
+# latency, from one co-partitioned orders<->lineitem join. Shares are
+# exact integer basis points (floor(10000*hits/total)); the mean is an
+# exact long-days sum over a count. The join shuffles once on the order
+# key; everything after is a 5-key map-side-combinable agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q266_sla_ship_latency",
+    oracle=f"""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS days
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN days <= 7 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS within_7d_bps,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN days <= 30 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS within_30d_bps,
+           {sql_round_det("SUM(days) / CAST(COUNT(*) AS DOUBLE)", 4)} AS mean_days
+    FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    category="relational",
+)
+def q266_sla_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority", F.datediff("sd", "od").alias("days")
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.when(F.col("days") <= 7, 1).otherwise(0)).alias("w7"),
+            F.sum(F.when(F.col("days") <= 30, 1).otherwise(0)).alias("w30"),
+            F.sum("days").alias("sum_days"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            F.floor(10000.0 * F.col("w7") / F.col("n_items"))
+            .cast("long")
+            .alias("within_7d_bps"),
+            F.floor(10000.0 * F.col("w30") / F.col("n_items"))
+            .cast("long")
+            .alias("within_30d_bps"),
+            round_det(F.col("sum_days") / F.col("n_items").cast("double"), 4).alias(
+                "mean_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q267 — RAG text chunking with overlap: fixed 200-char windows at stride
+# 150 (50-char overlap) over documents.text, emitting per-chunk offsets,
+# lengths, and md5 fingerprints — the retrieval-indexing layer's chunker
+# (q235 is the binary/multipart analogue; this is the text one). Pure
+# scan -> sequence/posexplode -> project: zero shuffles, explode factor
+# len/150 bounded per row, and the chunk text itself never leaves the
+# projection (only its digest), so output width is constant at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q267_text_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST((u.i - 1) // 150 AS BIGINT) AS chunk_idx,
+           CAST(u.i AS BIGINT) AS start_pos,
+           CAST(LENGTH(SUBSTR(text, CAST(u.i AS INTEGER), 200)) AS BIGINT)
+             AS chunk_len,
+           MD5(SUBSTR(text, CAST(u.i AS INTEGER), 200)) AS chunk_md5
+    FROM documents,
+         UNNEST(range(1, GREATEST(LENGTH(text), 1) + 1, 150)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    category="textstats",
+)
+def q267_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(150))
+    exploded = d.select("doc_id", "text", F.posexplode(starts).alias("idx", "start"))
+    chunk = F.substring(F.col("text"), F.col("start"), 200)
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start_pos"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk.cast("binary")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — label separability matrix: cosine between every pair of label
+# centroids. q237 monitors each label against the global centroid; this
+# is the pairwise companion — two labels whose centroids sit at
+# cosine >= 0.95 are candidates for merging (or evidence of label noise).
+# One (label, dim)-keyed pass over the fact builds the centroid table
+# (|labels| x 64 rows, checkpointed); the pair join runs entirely on that
+# tiny table, so cost is |labels|^2 x dims regardless of corpus size.
+# 64-term dot products accumulate in exact decimal space.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q268_label_separability",
+    oracle=f"""
+    WITH d AS (
+      SELECT label, g.i AS dim, embedding[g.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    cl AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY label, dim
+    ),
+    nrm AS (
+      SELECT label, {sql_exact_sum("c * c")} AS cc FROM cl GROUP BY label
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             {sql_exact_sum("a.c * b.c")} AS dot
+      FROM cl a JOIN cl b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT p.label_a, p.label_b,
+           {sql_round_det("p.dot / (sqrt(na.cc) * sqrt(nb.cc))", 6)} AS cos_ab,
+           (p.dot / (sqrt(na.cc) * sqrt(nb.cc)) >= 0.95) AS merge_candidate
+    FROM pairs p
+    JOIN nrm na ON na.label = p.label_a
+    JOIN nrm nb ON nb.label = p.label_b
+    ORDER BY p.label_a, p.label_b
+    """,
+    category="ann",
+)
+def q268_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("label", (F.col("pos") + 1).alias("dim"), "v")
+    cl = (
+        d.groupBy("label", "dim")
+        .agg((F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    nrm = cl.groupBy("label").agg(
+        F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double").alias("cc")
+    )
+    a = cl.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cl.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum((F.col("ca") * F.col("cb")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("cc").alias("cca"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("cc").alias("ccb"))
+    cos = F.col("dot") / (F.sqrt("cca") * F.sqrt("ccb"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            round_det(cos, 6).alias("cos_ab"),
+            (cos >= 0.95).alias("merge_candidate"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269 — session bounce-rate by entry event type: sessions from q42's
+# 30-minute gaps-and-islands, each reduced to (entry type, exit type,
+# event count); a bounce is a single-event session. Grouping by the entry
+# type answers "which landing action fails to retain" — the web-analytics
+# staple re-expressed on the events stream. Shuffle profile: one
+# user_id-partitioned window pass + one 5-key agg; shares in exact
+# integer basis points.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q269_session_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_seq
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, session_seq, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, session_seq) AS n_events
+      FROM sess
+    ),
+    sessions AS (
+      SELECT user_id, session_seq, event_type AS entry_type, n_events
+      FROM ranked WHERE rn = 1
+    )
+    SELECT entry_type,
+           COUNT(*) AS n_sessions,
+           SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS bounce_bps
+    FROM sessions GROUP BY entry_type ORDER BY entry_type
+    """,
+    category="streaming",
+)
+def q269_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(run))
+    w_s = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    ranked = sess.select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        F.row_number().over(w_s).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id", "session_seq")).alias(
+            "n_events"
+        ),
+    )
+    sessions = ranked.filter(F.col("rn") == 1).select(
+        F.col("event_type").alias("entry_type"), "n_events"
+    )
+    return (
+        sessions.groupBy("entry_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_bounces",
+            F.floor(10000.0 * F.col("n_bounces") / F.col("n_sessions"))
+            .cast("long")
+            .alias("bounce_bps"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q270 — supplier revenue concentration per nation (Herfindahl-Hirschman
+# index): squared revenue shares summed per nation, plus the top
+# supplier's share. q227's Gini measures customer inequality globally;
+# HHI is the antitrust-style per-market concentration screen. Revenue
+# aggregates per (nation, supplier) in exact decimal; shares divide two
+# exact doubles; the HHI sum re-accumulates the squared shares in decimal
+# so nothing depends on supplier order. Joins broadcast the supplier dim.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q270_supplier_hhi",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(25,10))) AS DOUBLE) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT s_nationkey, {sql_exact_sum("r")} AS t, COUNT(*) AS n_suppliers
+      FROM rev GROUP BY s_nationkey
+    )
+    SELECT rev.s_nationkey,
+           MAX(tot.n_suppliers) AS n_suppliers,
+           {sql_round_det("CAST(SUM(CAST((rev.r / tot.t) * (rev.r / tot.t) AS DECIMAL(25,10))) AS DOUBLE)", 6)}
+             AS hhi,
+           CAST(FLOOR(10000.0 * MAX(rev.r / tot.t)) AS BIGINT) AS top_share_bps
+    FROM rev JOIN tot ON rev.s_nationkey = tot.s_nationkey
+    GROUP BY rev.s_nationkey
+    ORDER BY rev.s_nationkey
+    """,
+    category="stats",
+)
+def q270_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(F.col("amount").cast(_DEC)).cast("double").alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum(F.col("r").cast(_DEC)).cast("double").alias("t"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            round_det(F.sum((share * share).cast(_DEC)).cast("double"), 6).alias(
+                "hhi"
+            ),
+            F.floor(10000.0 * F.max(share)).cast("long").alias("top_share_bps"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271 — ABC (Pareto) customer classification: customers ranked by
+# revenue; the prefix covering <= 80% of total revenue is class A, up to
+# 95% class B, the tail C. The inventory-management staple. The global
+# prefix sum over revenue-ranked customers uses the distributed
+# global_cumsum operator (value-grid cells + per-cell offsets, <= 1024
+# scalars through the driver) — NO single-partition window over the
+# customer table, so the plan holds when customers number in the
+# billions. Revenue is exact integer cents throughout; class boundaries
+# in integer basis points.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q271_abc_classification",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_incl,
+             SUM(cents) OVER () AS total
+      FROM cust
+    ),
+    classed AS (
+      SELECT o_custkey, cents, total,
+             CASE WHEN FLOOR(10000.0 * (CAST(cum_incl AS DOUBLE)
+                                        / CAST(total AS DOUBLE))) <= 8000 THEN 'A'
+                  WHEN FLOOR(10000.0 * (CAST(cum_incl AS DOUBLE)
+                                        / CAST(total AS DOUBLE))) <= 9500 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           CAST(FLOOR(10000.0 * (CAST(SUM(cents) AS DOUBLE)
+                                 / CAST(MAX(total) AS DOUBLE))) AS BIGINT)
+             AS revenue_bps,
+           {sql_round_det("CAST(SUM(cents) AS DOUBLE) / 100", 2)} AS revenue
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    category="relational",
+)
+def q271_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.relational_ext import global_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    with_neg = cust.withColumn("neg_cents", -F.col("cents"))
+    cum = global_cumsum(
+        with_neg, ["neg_cents", "o_custkey"], "cents", out_col="cum_before"
+    )
+    total_df = cust.agg(F.sum("cents").alias("total"))
+    classed = cum.crossJoin(F.broadcast(total_df)).select(
+        "o_custkey",
+        "cents",
+        "total",
+        F.when(
+            F.floor(
+                10000.0
+                * (
+                    (F.col("cum_before") + F.col("cents")).cast("double")
+                    / F.col("total").cast("double")
+                )
+            )
+            <= 8000,
+            "A",
+        )
+        .when(
+            F.floor(
+                10000.0
+                * (
+                    (F.col("cum_before") + F.col("cents")).cast("double")
+                    / F.col("total").cast("double")
+                )
+            )
+            <= 9500,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.floor(
+                10000.0
+                * (F.sum("cents").cast("double") / F.max("total").cast("double"))
+            )
+            .cast("long")
+            .alias("revenue_bps"),
+            round_det(F.sum("cents").cast("double") / 100, 2).alias("revenue"),
+        )
+        .orderBy("abc_class")
+    )
