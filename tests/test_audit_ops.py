@@ -1,0 +1,189 @@
+"""Invariant and plan-shape tests for the data-audit family (q260-q271).
+
+Oracle parity is covered by tests/test_oracle_parity.py (registry-wide);
+these pin the semantic invariants the hash comparison can't see — cursor
+predicate pushdown, classification totals, streak maximality, prefix-sum
+equivalence — following the house style of tests/test_scale_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_feature_demo_spark.catalog import table
+from hive_feature_demo_spark.plans.audit_ops import (
+    q260_benford_audit,
+    q261_keyset_pagination,
+    q262_reconciliation_diff,
+    q263_event_streaks,
+    q265_vocab_richness,
+    q266_sla_ship_latency,
+    q267_text_chunking,
+    q268_label_separability,
+    q269_session_bounce_rate,
+    q270_supplier_hhi,
+    q271_abc_classification,
+)
+from tests.conftest import SF_DIR
+
+
+def test_benford_frequencies_sum_to_one(spark):
+    rows = q260_benford_audit(spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    # observed shares were floor-rounded at 6dp: sum within 9 ulps of 1
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 9e-6
+    assert abs(sum(r["expected"] for r in rows) - 1.0) < 9e-6
+    total_n = sum(r["n"] for r in rows)
+    assert total_n == table(spark, SF_DIR, "orders").count()
+
+
+def test_keyset_page_equals_offset_page(spark):
+    """The cursor-predicate page must equal rows 101-150 of the full sort."""
+    got = [
+        r["o_orderkey"]
+        for r in q261_keyset_pagination(spark, SF_DIR).collect()
+    ]
+    full = (
+        table(spark, SF_DIR, "orders")
+        .orderBy("o_orderdate", "o_orderkey")
+        .select("o_orderkey")
+        .limit(150)
+        .collect()
+    )
+    assert got == [r["o_orderkey"] for r in full[100:150]]
+
+
+def test_keyset_cursor_predicate_reaches_scan(spark):
+    """The tuple-cursor filter must appear as a data filter (pushable),
+    not require a global sort before filtering."""
+    df = q261_keyset_pagination(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in df._jdf.queryExecution().toString() or "Filter" in plan
+
+
+def test_reconciliation_classes_cover_all_keys(spark):
+    rows = {r["status"]: r for r in q262_reconciliation_diff(spark, SF_DIR).collect()}
+    n_orders = table(spark, SF_DIR, "orders").count()
+    n_li_keys = (
+        table(spark, SF_DIR, "lineitem").select("l_orderkey").distinct().count()
+    )
+    covered = sum(r["n"] for r in rows.values())
+    # full outer: every order key + every lineitem-only key exactly once
+    n_union = (
+        table(spark, SF_DIR, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .union(table(spark, SF_DIR, "lineitem").select(F.col("l_orderkey").alias("k")))
+        .distinct()
+        .count()
+    )
+    assert covered == n_union
+    assert rows.get("match") is None or rows["match"]["total_abs_delta"] == 0.0
+    assert n_orders <= covered and n_li_keys <= covered
+
+
+def test_streaks_are_maximal_and_bounded(spark):
+    e = table(spark, SF_DIR, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    bounds = {r["user_id"]: r["n"] for r in per_user.collect()}
+    rows = q263_event_streaks(spark, SF_DIR).collect()
+    assert len(rows) == len(bounds)
+    for r in rows:
+        assert 1 <= r["streak_len"] <= bounds[r["user_id"]]
+
+
+def test_vocab_richness_invariants(spark):
+    for r in q265_vocab_richness(spark, SF_DIR).collect():
+        assert r["n_hapax"] <= r["n_types"] <= r["n_tokens"]
+        assert 0 <= r["ttr_bps"] <= 10000
+        assert 0 <= r["hapax_bps"] <= 10000
+
+
+def test_sla_shares_monotone(spark):
+    for r in q266_sla_ship_latency(spark, SF_DIR).collect():
+        assert 0 <= r["within_7d_bps"] <= r["within_30d_bps"] <= 10000
+
+
+def test_chunking_covers_text_exactly(spark):
+    """Chunk offsets tile each document: stride 150, first chunk at 1,
+    last chunk reaches the end of the text, overlap = 50 where a next
+    chunk exists."""
+    d = table(spark, SF_DIR, "documents").select("doc_id", F.length("text").alias("n"))
+    lens = {r["doc_id"]: r["n"] for r in d.collect()}
+    chunks = q267_text_chunking(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    assert set(by_doc) == set(lens)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda c: c["chunk_idx"])
+        assert [c["start_pos"] for c in cs] == [1 + 150 * i for i in range(len(cs))]
+        last = cs[-1]
+        assert last["start_pos"] + last["chunk_len"] - 1 == max(lens[doc_id], 0) or (
+            lens[doc_id] == 0 and last["chunk_len"] == 0
+        )
+
+
+def test_separability_matrix_shape_and_symmetric_domain(spark):
+    rows = q268_label_separability(spark, SF_DIR).collect()
+    labels = [
+        r["label"]
+        for r in table(spark, SF_DIR, "embeddings").select("label").distinct().collect()
+    ]
+    k = len(labels)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 - 1e-9 <= r["cos_ab"] <= 1.0 + 1e-9
+
+
+def test_bounce_sessions_match_sessionization(spark):
+    from hive_feature_demo_spark.plans.streaming_batch import q42_sessionization
+
+    n_sessions_q42 = q42_sessionization(spark, SF_DIR).count()
+    rows = q269_session_bounce_rate(spark, SF_DIR).collect()
+    assert sum(r["n_sessions"] for r in rows) == n_sessions_q42
+    for r in rows:
+        assert 0 <= r["n_bounces"] <= r["n_sessions"]
+
+
+def test_hhi_bounds(spark):
+    for r in q270_supplier_hhi(spark, SF_DIR).collect():
+        # HHI in (1/n, 1]; top share >= 1/n
+        assert 0.0 < r["hhi"] <= 1.0 + 1e-9
+        assert r["top_share_bps"] >= 10000 // r["n_suppliers"] - 1
+        assert r["hhi"] * r["n_suppliers"] >= 1.0 - 1e-6
+
+
+def test_abc_matches_single_partition_window_reference(spark):
+    """global_cumsum-based classification == plain window classification."""
+    o = table(spark, SF_DIR, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = (
+        cust.withColumn("cum_incl", F.sum("cents").over(w))
+        .crossJoin(F.broadcast(cust.agg(F.sum("cents").alias("total"))))
+        .withColumn(
+            "bps",
+            F.floor(10000.0 * (F.col("cum_incl").cast("double") / F.col("total").cast("double"))),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("bps") <= 8000, "A")
+            .when(F.col("bps") <= 9500, "B")
+            .otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    expect = {r["abc_class"]: r["n_customers"] for r in ref.collect()}
+    got = {
+        r["abc_class"]: r["n_customers"]
+        for r in q271_abc_classification(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == cust.count()
