@@ -872,3 +872,248 @@ def q271_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — unigram-LM perplexity quality filter (CCNet-style): score each
+# document by its unigram cross-entropy under the corpus language model
+# (-mean log2 p(term)), then profile per source: mean CE and the share
+# of docs scoring above the corpus mean (templated/low-entropy sources
+# sit below, noisy sources above). The term-keyed join of token
+# instances to the frequency table is the one wide op — the same
+# shuffle profile as TF-IDF (q64). Per-doc log sums accumulate in
+# exact decimal space over deterministic doubles; log2 via an ln(2)
+# literal so both engines divide by the identical constant.
+# ---------------------------------------------------------------------------
+
+_LN2 = "0.6931471805599453"
+
+
+@register(
+    "q272_unigram_perplexity",
+    oracle=f"""
+    WITH inst AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, COUNT(*) AS freq FROM inst GROUP BY term),
+    tot AS (SELECT SUM(freq) AS total FROM tf),
+    scored AS (
+      SELECT i.doc_id, i.source,
+             ln(tf.freq / CAST(t.total AS DOUBLE)) AS lnp
+      FROM inst i JOIN tf ON i.term = tf.term CROSS JOIN tot t
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             {sql_round_det(f"-({sql_exact_sum('lnp')}) / COUNT(*) / {_LN2}", 8)}
+               AS ce
+      FROM scored GROUP BY doc_id, source
+    ),
+    corpus AS (
+      SELECT {sql_exact_sum("ce")} / COUNT(*) AS mean_ce_all FROM per_doc
+    )
+    SELECT p.source,
+           COUNT(*) AS n_docs,
+           {sql_round_det(f"{sql_exact_sum('p.ce')} / COUNT(*)", 6)} AS mean_ce,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN p.ce > c.mean_ce_all THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS above_corpus_mean_bps
+    FROM per_doc p CROSS JOIN corpus c
+    GROUP BY p.source ORDER BY p.source
+    """,
+    category="textstats",
+)
+def q272_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = inst.groupBy("term").agg(F.count("*").alias("freq"))
+    total = tf.agg(F.sum("freq").alias("total"))
+    scored = (
+        inst.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.log(F.col("freq") / F.col("total").cast("double")).alias("lnp"),
+        )
+    )
+    ln2 = float(_LN2)
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        round_det(
+            -(F.sum(F.col("lnp").cast(_DEC)).cast("double")) / F.count("*") / ln2, 8
+        ).alias("ce")
+    )
+    corpus = per_doc.agg(
+        (F.sum(F.col("ce").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "mean_ce_all"
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            round_det(
+                F.sum(F.col("ce").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("mean_ce"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("ce") > F.col("mean_ce_all"), 1).otherwise(0))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("above_corpus_mean_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q273 — embedding outliers by diagonal Mahalanobis distance: per-dim
+# mean/variance from one exact-decimal pass, then each vector's
+# sum((v - mu)^2 / var) — the covariance-scaled generalization of q105's
+# z-scores to vector space, and the standard cheap screen for corrupt or
+# out-of-distribution embeddings before ANN indexing. Dim stats
+# (64 rows) broadcast back into the explode; per-vector sums accumulate
+# in decimal; the top-20 ranking orders on the ROUNDED distance with a
+# vec_id tiebreak so both engines cut the same boundary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q273_mahalanobis_outliers",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, label, g.i AS dim, embedding[g.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    st AS (
+      SELECT dim,
+             CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST(v * v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS ex2,
+             COUNT(*) AS n
+      FROM d GROUP BY dim
+    ),
+    stv AS (
+      SELECT dim, mu,
+             CASE WHEN ex2 - mu * mu > 0 THEN ex2 - mu * mu ELSE 1.0 END AS var
+      FROM st
+    ),
+    dist AS (
+      SELECT d.vec_id, MAX(d.label) AS label,
+             {sql_round_det(sql_exact_sum("((d.v - s.mu) * (d.v - s.mu)) / s.var"), 6)}
+               AS m_dist2
+      FROM d JOIN stv s ON d.dim = s.dim
+      GROUP BY d.vec_id
+    )
+    SELECT vec_id, label, m_dist2
+    FROM dist ORDER BY m_dist2 DESC, vec_id LIMIT 20
+    """,
+    category="ann",
+)
+def q273_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "v")
+    st = d.groupBy("dim").agg(
+        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("mu"),
+        (F.sum((F.col("v") * F.col("v")).cast(_DEC)).cast("double") / F.count("*")).alias(
+            "ex2"
+        ),
+    )
+    stv = st.select(
+        "dim",
+        "mu",
+        F.when(
+            F.col("ex2") - F.col("mu") * F.col("mu") > 0,
+            F.col("ex2") - F.col("mu") * F.col("mu"),
+        )
+        .otherwise(1.0)
+        .alias("var"),
+    )
+    contrib = ((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))) / F.col("var")
+    dist = (
+        d.join(F.broadcast(stv), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.max("label").alias("label"),
+            round_det(F.sum(contrib.cast(_DEC)).cast("double"), 6).alias("m_dist2"),
+        )
+    )
+    return dist.select("vec_id", "label", "m_dist2").orderBy(
+        F.desc("m_dist2"), "vec_id"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q274 — bounded-round BFS hop distances from the smallest user in the
+# session-overlap graph (q160's edge definition, shared with the
+# CC/PageRank/k-core family): three rounds of frontier relaxation
+# dist(v) = min(dist(v), min_nbr dist(u) + 1). Each round is one
+# edge-keyed join + one min-agg over a checkpointed edge list — the
+# fixed-round pattern this repo uses for every iterative graph op
+# (engine-exact, no data-dependent iteration). The oracle unrolls the
+# same three rounds as CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _q274_oracle() -> str:
+    from hive_feature_demo_spark.plans.advanced_ops import _SESS_SQL
+
+    return f"""
+    {_SESS_SQL},
+    und AS (
+      SELECT ua AS s, ub AS d FROM pairs
+      UNION ALL SELECT ub, ua FROM pairs
+    ),
+    seed AS (SELECT MIN(ua) AS v FROM pairs),
+    r0 AS (SELECT v, 0 AS hop FROM seed),
+    f1 AS (SELECT u.d AS v, 1 AS hop FROM und u JOIN r0 ON u.s = r0.v),
+    r1 AS (SELECT v, MIN(hop) AS hop
+           FROM (SELECT * FROM r0 UNION ALL SELECT * FROM f1) GROUP BY v),
+    f2 AS (SELECT u.d AS v, r1.hop + 1 AS hop FROM und u JOIN r1 ON u.s = r1.v),
+    r2 AS (SELECT v, MIN(hop) AS hop
+           FROM (SELECT * FROM r1 UNION ALL SELECT * FROM f2) GROUP BY v),
+    f3 AS (SELECT u.d AS v, r2.hop + 1 AS hop FROM und u JOIN r2 ON u.s = r2.v),
+    r3 AS (SELECT v, MIN(hop) AS hop
+           FROM (SELECT * FROM r2 UNION ALL SELECT * FROM f3) GROUP BY v)
+    SELECT v AS user_id, CAST(hop AS BIGINT) AS hops
+    FROM r3 ORDER BY user_id
+    """
+
+
+@register("q274_bfs_hops", oracle=_q274_oracle(), category="relational")
+def q274_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.plans.advanced_ops import _overlap_edges
+
+    pairs = _overlap_edges(spark, sf_dir)
+    und = (
+        pairs.select(F.col("ua").alias("s"), F.col("ub").alias("d"))
+        .unionAll(pairs.select(F.col("ub").alias("s"), F.col("ua").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    seed = pairs.agg(F.min("ua").alias("v")).withColumn("hop", F.lit(0))
+    reached = seed.select("v", "hop")
+    for _ in range(3):
+        expanded = (
+            und.join(reached.withColumnRenamed("v", "s"), "s")
+            .select(F.col("d").alias("v"), (F.col("hop") + 1).alias("hop"))
+        )
+        reached = (
+            reached.unionAll(expanded)
+            .groupBy("v")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return reached.select(
+        F.col("v").alias("user_id"), F.col("hop").cast("long").alias("hops")
+    ).orderBy("user_id")

@@ -187,3 +187,49 @@ def test_abc_matches_single_partition_window_reference(spark):
     }
     assert got == expect
     assert sum(got.values()) == cust.count()
+
+
+def test_perplexity_profile_invariants(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q272_unigram_perplexity
+
+    rows = q272_unigram_perplexity(spark, SF_DIR).collect()
+    assert rows, "at least one source"
+    for r in rows:
+        assert r["mean_ce"] > 0.0  # cross-entropy of a non-degenerate LM
+        assert 0 <= r["above_corpus_mean_bps"] <= 10000
+
+
+def test_mahalanobis_topk_sorted_and_nonnegative(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q273_mahalanobis_outliers
+
+    rows = q273_mahalanobis_outliers(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    dists = [r["m_dist2"] for r in rows]
+    assert all(d >= 0.0 for d in dists)
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_bfs_hops_equal_plain_python_bfs(spark):
+    from collections import deque
+
+    from hive_feature_demo_spark.plans.advanced_ops import _overlap_edges
+    from hive_feature_demo_spark.plans.audit_ops import q274_bfs_hops
+
+    edges = [(r["ua"], r["ub"]) for r in _overlap_edges(spark, SF_DIR).collect()]
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seed = min(a for a, _ in edges)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r["user_id"]: r["hops"] for r in q274_bfs_hops(spark, SF_DIR).collect()}
+    assert got == dist
