@@ -1117,3 +1117,252 @@ def q274_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reached.select(
         F.col("v").alias("user_id"), F.col("hop").cast("long").alias("hops")
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q275 — order denormalization: collapse each order's lineitems into ONE
+# wide row (count, exact gross, and a sorted packed item list) — the
+# nested-document materialization that feeds document stores / feature
+# stores from a star schema. collect_list is unordered across partitions,
+# so the packed item strings are array_sort-ed before joining (the repo's
+# standard determinism rule for collected lists); amounts ride as integer
+# cents inside the strings so both engines print identical bytes. One
+# map-side-combinable groupBy on the order key + one co-partitioned join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q275_order_denormalization",
+    oracle=f"""
+    WITH packed AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_items,
+             SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS gross_cents,
+             array_to_string(list_sort(list(
+               CAST(l_linenumber AS VARCHAR) || ':' ||
+               CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR) || ':' ||
+               CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+             )), '|') AS items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, p.n_items,
+           {sql_round_det("CAST(p.gross_cents AS DOUBLE) / 100", 2)} AS gross,
+           p.items
+    FROM orders o JOIN packed p ON o.o_orderkey = p.l_orderkey
+    ORDER BY o.o_orderkey
+    """,
+    category="relational",
+)
+def q275_order_denormalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100 + 0.5).cast("long")  # noqa: E731
+    item = F.concat_ws(
+        ":",
+        F.col("l_linenumber").cast("string"),
+        cents("l_quantity").cast("string"),
+        cents("l_extendedprice").cast("string"),
+    )
+    packed = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(cents("l_extendedprice")).alias("gross_cents"),
+        F.concat_ws("|", F.array_sort(F.collect_list(item))).alias("items"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        o.join(packed, o.o_orderkey == packed.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "n_items",
+            round_det(F.col("gross_cents").cast("double") / 100, 2).alias("gross"),
+            "items",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276 — rolling 7-day active users (WAU) per day, with same-day DAU and
+# the stickiness ratio DAU/WAU in basis points. The scale-safe
+# formulation maps each distinct (day, user) pair to the <= 7 future days
+# it keeps alive (a bounded explode) and counts distinct users per target
+# day — an equi-keyed shuffle, NOT a range self-join; the oracle uses the
+# naive BETWEEN join, which is fine at oracle scale and provably
+# equivalent. Target days are clipped to days that actually occur.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q276_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM du),
+    wau AS (
+      SELECT s.day, COUNT(DISTINCT du.user_id) AS wau
+      FROM spine s JOIN du
+        ON du.day BETWEEN s.day - 6 AND s.day
+      GROUP BY s.day
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+    SELECT w.day, d.dau, w.wau,
+           CAST(FLOOR(10000.0 * d.dau / w.wau) AS BIGINT) AS stickiness_bps
+    FROM wau w JOIN dau d ON w.day = d.day
+    ORDER BY w.day
+    """,
+    category="stats",
+)
+def q276_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    du = e.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    spine = du.select("day").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "target_day"
+        ),
+        "user_id",
+    )
+    wau = (
+        contrib.join(
+            F.broadcast(spine).withColumnRenamed("day", "target_day"),
+            "target_day",
+            "left_semi",
+        )
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("target_day", "day")
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        wau.join(dau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.floor(10000.0 * F.col("dau") / F.col("wau")).cast("long").alias(
+                "stickiness_bps"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q277 — session handoff matrix: how users RE-ENTER — the last event type
+# of one session vs the first event type of the user's next session,
+# counted across all consecutive session pairs. q205's Markov matrix is
+# the within-stream transition; this is the across-the-gap companion
+# (what users come back to do). Sessions from q42's 30-minute islands;
+# one user-partitioned window pass to order sessions, one lag, one
+# bounded-key agg; shares in exact basis points of each exit row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q277_session_handoff_matrix",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(ts AS TIMESTAMP) - CAST(LAG(ts) OVER w AS TIMESTAMP)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_seq
+      FROM marked
+    ),
+    ranked AS (
+      SELECT user_id, session_seq, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM sess
+    ),
+    sessions AS (
+      SELECT user_id, session_seq,
+             MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+      FROM ranked GROUP BY user_id, session_seq
+    ),
+    handoffs AS (
+      SELECT LAG(exit_type) OVER (PARTITION BY user_id ORDER BY session_seq)
+               AS prev_exit,
+             entry_type AS next_entry
+      FROM sessions
+    ),
+    counted AS (
+      SELECT prev_exit, next_entry, COUNT(*) AS n
+      FROM handoffs WHERE prev_exit IS NOT NULL
+      GROUP BY prev_exit, next_entry
+    )
+    SELECT prev_exit, next_entry, n,
+           CAST(FLOOR(10000.0 * n / SUM(n) OVER (PARTITION BY prev_exit))
+                AS BIGINT) AS row_share_bps
+    FROM counted
+    ORDER BY prev_exit, next_entry
+    """,
+    category="stats",
+)
+def q277_session_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn("session_seq", F.sum("is_new").over(run))
+    w_a = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("user_id", "session_seq").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = sess.select(
+        "user_id",
+        "session_seq",
+        "event_type",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    sessions = ranked.groupBy("user_id", "session_seq").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("event_type"))).alias("entry_type"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("event_type"))).alias("exit_type"),
+    )
+    w_sess = Window.partitionBy("user_id").orderBy("session_seq")
+    handoffs = sessions.select(
+        F.lag("exit_type").over(w_sess).alias("prev_exit"),
+        F.col("entry_type").alias("next_entry"),
+    ).filter(F.col("prev_exit").isNotNull())
+    counted = handoffs.groupBy("prev_exit", "next_entry").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("prev_exit")
+    return (
+        counted.select(
+            "prev_exit",
+            "next_entry",
+            "n",
+            F.floor(10000.0 * F.col("n") / F.sum("n").over(w_row))
+            .cast("long")
+            .alias("row_share_bps"),
+        )
+        .orderBy("prev_exit", "next_entry")
+    )
