@@ -1366,3 +1366,269 @@ def q277_session_handoff_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_exit", "next_entry")
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — TF-IDF document similarity: top-20 most-similar doc pairs by
+# exact cosine in the PRUNED term space (terms with df <= 50; higher-df
+# terms are quasi-stopwords that dominate pair cost while adding no
+# discrimination). This is the vector-space complement to MinHash
+# (set Jaccard, q45) and embedding cosine (q62): the classic
+# inverted-index all-pairs similarity, where pair cost is
+# sum_term(df^2) — bounded by the df cap, never by corpus size.
+# Weights tf*ln(N/df) are deterministic doubles; pair dots and norms
+# accumulate in exact decimal; the ranking orders on the rounded cosine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q278_tfidf_doc_similarity",
+    oracle=f"""
+    WITH inst AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM inst GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS w
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      WHERE df.df <= 50
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt({sql_exact_sum("w * w")}) AS nn
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {sql_exact_sum("a.w * b.w")} AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           {sql_round_det("d.dot / (na.nn * nb.nn)", 6)} AS cosine
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    ORDER BY cosine DESC, d.doc_a, d.doc_b
+    LIMIT 20
+    """,
+    category="textstats",
+)
+def q278_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    inst = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = inst.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") <= 50)
+    n_docs = d.count()
+    w = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    ).localCheckpoint(eager=True)  # reused by both join sides + norms
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum((F.col("w") * F.col("w")).cast(_DEC)).cast("double")).alias("nn")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast(_DEC)).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_det(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — chi-square independence test of language vs source: is the
+# language mix the same across sources? The categorical-drift screen for
+# a multi-source corpus (a source whose language profile diverges skews
+# mixture weights downstream). Observed counts from one grouped agg;
+# expected counts from broadcast row/column marginals; the statistic
+# accumulates (o-e)^2/e in exact decimal. Output: one row — chi2, the
+# degrees of freedom, and the cell count that drove it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q279_chisq_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT SUM(o) AS total FROM obs),
+    cells AS (
+      SELECT obs.o,
+             (CAST(rt.r AS DOUBLE) * ct.c) / n.total AS e
+      FROM obs JOIN rt ON obs.lang = rt.lang
+               JOIN ct ON obs.source = ct.source
+               CROSS JOIN n
+    )
+    SELECT {sql_round_det(sql_exact_sum("((o - e) * (o - e)) / e"), 4)} AS chi2,
+           (SELECT (COUNT(*) - 1) FROM rt) * (SELECT (COUNT(*) - 1) FROM ct) AS dof,
+           COUNT(*) AS n_cells
+    FROM cells
+    """,
+    category="stats",
+)
+def q279_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o",
+            ((F.col("r").cast("double") * F.col("c")) / F.col("total")).alias("e"),
+        )
+    )
+    dof = (rt.count() - 1) * (ct.count() - 1)
+    contrib = ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e"))) / F.col("e")
+    return cells.agg(
+        round_det(F.sum(contrib.cast(_DEC)).cast("double"), 4).alias("chi2"),
+        F.lit(dof).cast("long").alias("dof"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q280 — centroid silhouette (lite): per vector, cosine to its OWN label
+# centroid (a) vs the best cosine to any OTHER centroid (b); per label,
+# the mean margin (a - b) and the share of vectors that sit closer to a
+# foreign centroid (b > a) — the label-quality score that q268's
+# centroid-pair matrix can't see (it measures centers, this measures
+# members). The vector-to-centroid scoring explodes to N x k x 64 rows —
+# the identical assignment shape as IVF coarse quantization (q63) with
+# the 64 x k centroid table broadcast, so no shuffle touches the fact
+# until the per-(vec, label) reduce. All dots/norms in exact decimal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q280_centroid_silhouette",
+    oracle=f"""
+    WITH d AS (
+      SELECT vec_id, label, g.i AS dim, embedding[g.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) g(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY label, dim
+    ),
+    cnorm AS (
+      SELECT clabel, sqrt({sql_exact_sum("c * c")}) AS cn FROM cent GROUP BY clabel
+    ),
+    vnorm AS (
+      SELECT vec_id, sqrt({sql_exact_sum("v * v")}) AS vn FROM d GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT d.vec_id, MAX(d.label) AS label, cent.clabel,
+             {sql_exact_sum("d.v * cent.c")} AS dot
+      FROM d JOIN cent ON d.dim = cent.dim
+      GROUP BY d.vec_id, cent.clabel
+    ),
+    cosv AS (
+      SELECT dots.vec_id, dots.label, dots.clabel,
+             dots.dot / (vnorm.vn * cnorm.cn) AS cos
+      FROM dots JOIN vnorm ON dots.vec_id = vnorm.vec_id
+                JOIN cnorm ON dots.clabel = cnorm.clabel
+    ),
+    margins AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN cos END) AS a,
+             MAX(CASE WHEN clabel <> label THEN cos END) AS b
+      FROM cosv GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           {sql_round_det(f"{sql_exact_sum('a - b')} / COUNT(*)", 6)} AS mean_margin,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN b > a THEN 1 ELSE 0 END) / COUNT(*))
+                AS BIGINT) AS misassigned_bps
+    FROM margins GROUP BY label ORDER BY label
+    """,
+    category="ann",
+)
+def q280_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), "v")
+    cent = d.groupBy(F.col("label").alias("clabel"), F.col("dim")).agg(
+        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("c")
+    )
+    cnorm = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double")).alias("cn")
+    )
+    vnorm = d.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(_DEC)).cast("double")).alias("vn")
+    )
+    dots = (
+        d.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.max("label").alias("label"),
+            F.sum((F.col("v") * F.col("c")).cast(_DEC)).cast("double").alias("dot"),
+        )
+    )
+    cosv = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.col("dot") / (F.col("vn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    margins = cosv.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("cos"))).alias("a"),
+        F.max(F.when(F.col("clabel") != F.col("label"), F.col("cos"))).alias("b"),
+    )
+    return (
+        margins.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round_det(
+                F.sum((F.col("a") - F.col("b")).cast(_DEC)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_margin"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("b") > F.col("a"), 1).otherwise(0))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("misassigned_bps"),
+        )
+        .orderBy("label")
+    )

@@ -233,3 +233,38 @@ def test_bfs_hops_equal_plain_python_bfs(spark):
                 q.append(v)
     got = {r["user_id"]: r["hops"] for r in q274_bfs_hops(spark, SF_DIR).collect()}
     assert got == dist
+
+
+def test_tfidf_similarity_topk_valid(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q278_tfidf_doc_similarity
+
+    rows = q278_tfidf_doc_similarity(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+
+
+def test_chisq_independence_shape(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q279_chisq_independence
+
+    d = table(spark, SF_DIR, "documents")
+    n_lang = d.select("lang").distinct().count()
+    n_src = d.select("source").distinct().count()
+    r = q279_chisq_independence(spark, SF_DIR).collect()[0]
+    assert r["chi2"] >= 0.0
+    assert r["dof"] == (n_lang - 1) * (n_src - 1)
+    assert r["n_cells"] <= n_lang * n_src
+
+
+def test_silhouette_covers_all_vectors(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q280_centroid_silhouette
+
+    rows = q280_centroid_silhouette(spark, SF_DIR).collect()
+    total = table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == total
+    for r in rows:
+        assert 0 <= r["misassigned_bps"] <= 10000
+        assert -2.0 <= r["mean_margin"] <= 2.0  # cosine margins bounded
