@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
 from hive_feature_demo_spark.functions.numeric import (
+    exact_sum_fixed,
     round_det,
     sql_exact_sum,
+    sql_exact_sum_fixed,
     sql_round_det,
 )
 from hive_feature_demo_spark.plans.registry import register
@@ -1631,4 +1633,277 @@ def q280_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("misassigned_bps"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 — distributed PCA, first principal component by fixed-round power
+# iteration: ONE Gram-matrix pass over the embeddings (the vec_id-keyed
+# self-join explodes to N x 64 x 64 rows, but the (i,j)-keyed agg is
+# map-side combinable down to 4096 cells — the canonical X^T X shape,
+# the only stage that touches the fact), then SIXTY matrix-vector
+# iterations that run entirely on the 4096-row covariance table with the
+# 64-row vector broadcast. Round count: per-round error decays as
+# (lambda2/lambda1)^k and the synthetic embeddings are near-isotropic
+# (gap ~ 1.07 at sf0.001), so 60 rounds reach cosine > 0.99 to the true
+# eigenvector (verified against numpy in tests); the round count is a
+# FIXED engine contract, never data-dependent. Seed = 1/8 everywhere
+# (1/sqrt(64), exactly representable); every 64-term sum accumulates in
+# exact decimal so both engines round identically; the oracle unrolls
+# the same 60 rounds as MATERIALIZED CTEs (DuckDB inlines plain CTEs,
+# which would re-derive the Gram matrix per round). lambda1 is ||C v||
+# of the final normalized iterate; explained share = lambda1 / trace(C).
+# ---------------------------------------------------------------------------
+
+
+_PCA_ROUNDS = 60
+
+
+def _q281_oracle() -> str:
+    it = """
+    w{k} AS (
+      SELECT cov.i, CAST(SUM(CAST(cov.c * v{p}.v AS DECIMAL(25,10))) AS DOUBLE) AS w
+      FROM cov JOIN v{p} ON cov.j = v{p}.i GROUP BY cov.i
+    ),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(25,10))) AS DOUBLE)) AS n
+             FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT w{k}.i, w{k}.w / n{k}.n AS v FROM w{k} CROSS JOIN n{k})"""
+    rounds = "".join(
+        "," + it.format(k=k, p=k - 1) for k in range(1, _PCA_ROUNDS + 1)
+    )
+    last = _PCA_ROUNDS
+    return (
+        """
+    WITH d AS MATERIALIZED (
+      SELECT vec_id, t.i AS i, embedding[t.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    mu AS MATERIALIZED (
+      SELECT i, CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu
+      FROM d GROUP BY i
+    ),
+    g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS exy
+      FROM d a JOIN d b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    cov AS MATERIALIZED (
+      SELECT g.i, g.j, g.exy - ma.mu * mb.mu AS c
+      FROM g JOIN mu ma ON g.i = ma.i JOIN mu mb ON g.j = mb.i
+    ),
+    v0 AS (SELECT t.i AS i, 0.125 AS v FROM generate_series(1, 64) t(i))"""
+        + rounds
+        + f""",
+    tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(25,10))) AS DOUBLE) AS trace
+           FROM cov WHERE i = j)
+    SELECT CAST(v{last}.i AS BIGINT) AS dim,
+           (FLOOR((v{last}.v) * 1000000.0 + 0.5) / 1000000.0) AS loading,
+           (FLOOR((n{last}.n) * 1000000.0 + 0.5) / 1000000.0) AS lambda1,
+           CAST(FLOOR(10000.0 * (n{last}.n / tr.trace)) AS BIGINT) AS explained_bps
+    FROM v{last} CROSS JOIN n{last} CROSS JOIN tr
+    ORDER BY dim
+    """
+    )
+
+
+@register("q281_pca_power_iteration", oracle=_q281_oracle(), category="ann")
+def q281_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    mu = d.groupBy("i").agg(
+        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("mu")
+    )
+    a = d.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
+    b = d.select("vec_id", F.col("i").alias("bj"), F.col("v").alias("bv"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(
+            (
+                F.sum((F.col("av") * F.col("bv")).cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("exy")
+        )
+    )
+    ma = mu.select(F.col("i").alias("i"), F.col("mu").alias("mu_i"))
+    mb = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        g.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select("i", "j", (F.col("exy") - F.col("mu_i") * F.col("mu_j")).alias("c"))
+        .localCheckpoint(eager=True)  # 4096 rows; reused by 3 iterations + trace
+    )
+    v = spark.createDataFrame([(i, 0.125) for i in range(1, 65)], "i int, v double")
+    norm_df = None
+    for _ in range(_PCA_ROUNDS):
+        w = (
+            cov.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum((F.col("c") * F.col("v")).cast(_DEC)).cast("double").alias("w"))
+        )
+        norm_df = w.agg(
+            F.sqrt(F.sum((F.col("w") * F.col("w")).cast(_DEC)).cast("double")).alias(
+                "n"
+            )
+        )
+        # the 64-row iterate round-trips through the driver as exact IEEE
+        # doubles (collect -> createDataFrame), keeping every round's plan
+        # constant-size instead of checkpointing a growing lineage
+        rows = (
+            w.crossJoin(F.broadcast(norm_df))
+            .select("i", (F.col("w") / F.col("n")).alias("v"))
+            .collect()
+        )
+        v = spark.createDataFrame(
+            [(int(r["i"]), float(r["v"])) for r in rows], "i int, v double"
+        )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("c").cast(_DEC)).cast("double").alias("trace")
+    )
+    return (
+        v.crossJoin(F.broadcast(norm_df))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            round_det(F.col("v"), 6).alias("loading"),
+            round_det(F.col("n"), 6).alias("lambda1"),
+            F.floor(10000.0 * (F.col("n") / F.col("trace")))
+            .cast("long")
+            .alias("explained_bps"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q282 — seasonal-naive forecast backtest: predict each day's per-type
+# revenue with the value 7 days earlier, then score MAPE and mean bias
+# per event type — the sanity baseline every real forecaster must beat,
+# and the cheapest drift alarm (MAPE jumping week-over-week = the
+# seasonal pattern broke). Daily series aggregates once (day keys ~
+# calendar, never data volume); the lag-7 join is a self-join on
+# (event_type, day); error means accumulate in exact decimal over
+# deterministic doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q282_seasonal_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {sql_round_det(sql_exact_sum("value"), 6)} AS rev
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT a.event_type,
+             ABS((a.rev - p.rev) / a.rev) AS ape,
+             (a.rev - p.rev) / a.rev AS pe
+      FROM daily a JOIN daily p
+        ON a.event_type = p.event_type AND p.day = a.day - 7
+      WHERE a.rev <> 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n_days,
+           {sql_round_det(f"{sql_exact_sum('ape')} / COUNT(*)", 6)} AS mape,
+           {sql_round_det(f"{sql_exact_sum('pe')} / COUNT(*)", 6)} AS mean_bias
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    category="stats",
+)
+def q282_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        round_det(F.sum(F.col("value").cast(_DEC)).cast("double"), 6).alias("rev")
+    )
+    a = daily.select("event_type", "day", F.col("rev").alias("actual"))
+    p = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("rev").alias("pred")
+    )
+    scored = (
+        a.join(p, ["event_type", "day"])
+        .filter(F.col("actual") != 0)
+        .select(
+            "event_type",
+            F.abs((F.col("actual") - F.col("pred")) / F.col("actual")).alias("ape"),
+            ((F.col("actual") - F.col("pred")) / F.col("actual")).alias("pe"),
+        )
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            round_det(
+                F.sum(F.col("ape").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("mape"),
+            round_det(
+                F.sum(F.col("pe").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("mean_bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q283 — snapshot diff: the row-level delta between two manifest
+# versions of q200's snapshot log (commit 1 = orders before 1998,
+# commit 2 = full table), computed as an anti-join of version 2 against
+# version 1 on the primary key — exactly the increment a downstream
+# consumer processes after a commit. Immutable data files make the diff
+# cheap: only the delta files' rows survive the anti-join probe. The
+# oracle reproduces the delta from the date split.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q283_snapshot_diff",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS rows_added,
+           {{total}} AS value_added
+    FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """.format(total=sql_exact_sum_fixed("o_totalprice", 2)),
+    category="sources",
+)
+def q283_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from hive_feature_demo_spark.plans.engine_features import (
+        _snapshot_commit,
+        _snapshot_read,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="q283_snap_")
+    d1 = os.path.join(base, "commit-1")
+    d2 = os.path.join(base, "commit-2")
+    o.filter(F.col("o_orderdate") < "1998-01-01").write.parquet(d1)
+    o.filter(F.col("o_orderdate") >= "1998-01-01").write.parquet(d2)
+
+    def data_files(d: str) -> list[str]:
+        return [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+
+    _snapshot_commit(base, data_files(d1), version=1)
+    _snapshot_commit(base, data_files(d1) + data_files(d2), version=2)
+    v1 = _snapshot_read(spark, base, 1)
+    v2 = _snapshot_read(spark, base, 2)
+    delta = v2.join(
+        v1.select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    return (
+        delta.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("rows_added"),
+            exact_sum_fixed("o_totalprice", 2, "value_added"),
+        )
+        .orderBy("o_orderpriority")
     )

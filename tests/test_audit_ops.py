@@ -268,3 +268,48 @@ def test_silhouette_covers_all_vectors(spark):
     for r in rows:
         assert 0 <= r["misassigned_bps"] <= 10000
         assert -2.0 <= r["mean_margin"] <= 2.0  # cosine margins bounded
+
+
+def test_pca_loading_matches_numpy_eig(spark):
+    """Independent reference: the power-iteration loading must align with
+    numpy's dominant eigenvector of the same covariance matrix (3 rounds
+    get within ~1e-2 cosine on a spectrum with a clear gap)."""
+    import numpy as np
+
+    from hive_feature_demo_spark.plans.audit_ops import q281_pca_power_iteration
+
+    rows = q281_pca_power_iteration(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    loading = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert abs(float(np.linalg.norm(loading)) - 1.0) < 1e-4  # unit vector
+    emb = table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(C)
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(loading, top)))
+    assert cos > 0.98, f"cosine to numpy eigvec only {cos}"
+    lam = rows[0]["lambda1"]
+    assert abs(lam - float(vals[-1])) / float(vals[-1]) < 0.05
+    assert 0 < rows[0]["explained_bps"] <= 10000
+
+
+def test_seasonal_backtest_invariants(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q282_seasonal_backtest
+
+    rows = q282_seasonal_backtest(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_days"] >= 1
+        assert r["mape"] >= 0.0
+        assert abs(r["mean_bias"]) <= r["mape"] + 1e-9
+
+
+def test_snapshot_diff_complements_v1(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q283_snapshot_diff
+
+    rows = q283_snapshot_diff(spark, SF_DIR).collect()
+    added = sum(r["rows_added"] for r in rows)
+    o = table(spark, SF_DIR, "orders")
+    n_after = o.filter(F.col("o_orderdate") >= "1998-01-01").count()
+    assert added == n_after
