@@ -1907,3 +1907,165 @@ def q283_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — streaming incremental covariance maintenance: the embeddings
+# table replays as four micro-batches (vec_id % 4, one file per
+# trigger); each foreachBatch computes that batch's PARTIAL Gram sums
+# (per-(i,j) decimal sums + counts) and appends them to a state store;
+# the final covariance merges the partials. Because decimal addition is
+# associative, the merged second moments equal the direct one-pass
+# computation BIT-FOR-BIT — the incremental==full contract (q201's MV
+# refresh, q215's CDC apply) extended to the sufficient statistics of
+# q281's PCA. The oracle computes everything from scratch; per-dim
+# output = mean, variance, and the off-diagonal norm (proof the FULL
+# matrix was maintained, not just the diagonal). At 100 TB this is how
+# a feature-store keeps whitening/PCA stats fresh: 4096 decimal cells
+# per batch, state size independent of stream length.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q284_incremental_gram",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+      SELECT vec_id, t.i AS i, embedding[t.i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
+    mu AS MATERIALIZED (
+      SELECT i, CAST(SUM(CAST(v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu,
+             COUNT(*) AS n
+      FROM d GROUP BY i
+    ),
+    g AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.v * b.v AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS exy
+      FROM d a JOIN d b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    cov AS MATERIALIZED (
+      SELECT g.i, g.j, g.exy - ma.mu * mb.mu AS c
+      FROM g JOIN mu ma ON g.i = ma.i JOIN mu mb ON g.j = mb.i
+    ),
+    offd AS (
+      SELECT i, sqrt({sql_exact_sum("c * c")}) AS offdiag_norm
+      FROM cov WHERE i <> j GROUP BY i
+    ),
+    nb AS (SELECT COUNT(DISTINCT vec_id % 4) AS n_batches FROM embeddings)
+    SELECT CAST(mu.i AS BIGINT) AS dim, mu.n AS n_vecs,
+           {sql_round_det("mu.mu", 6)} AS mean,
+           {sql_round_det("diag.c", 6)} AS variance,
+           {sql_round_det("offd.offdiag_norm", 6)} AS offdiag_norm,
+           nb.n_batches
+    FROM mu
+    JOIN cov diag ON diag.i = mu.i AND diag.j = mu.i
+    JOIN offd ON offd.i = mu.i
+    CROSS JOIN nb
+    ORDER BY dim
+    """,
+    category="streaming",
+)
+def q284_incremental_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    replay_dir = tempfile.mkdtemp(prefix="q284_replay_")
+    state_dir = os.path.join(tempfile.mkdtemp(prefix="q284_state_"), "partials")
+    for r in range(4):  # one file per residue class -> four micro-batches
+        emb.filter(F.col("vec_id") % 4 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(replay_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(replay_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        d = batch_df.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+        a = d.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
+        b = d.select("vec_id", F.col("i").alias("bj"), F.col("v").alias("bv"))
+        partial = (
+            a.join(b, "vec_id")
+            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+            .agg(
+                F.sum((F.col("av") * F.col("bv")).cast("decimal(25,10)")).alias("sxy"),
+                F.count("*").alias("cnt"),
+            )
+        )
+        sums = d.groupBy("i").agg(
+            F.sum(F.col("v").cast("decimal(25,10)")).alias("sx"),
+            F.count("*").alias("nx"),
+        )
+        partial.join(sums, "i").withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream.writeStream.foreachBatch(write_batch).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    st = spark.read.parquet(state_dir)
+    n_batches = st.select("batch_id").distinct().count()
+    # merge partials: decimal addition is associative -> equals one-pass
+    merged = st.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("cnt").alias("cnt"),
+    )
+    # first moments ride duplicated on every (i, j) row of their i; the
+    # diagonal slice carries each (batch, i) contribution exactly once
+    firsts = (
+        st.filter(F.col("j") == F.col("i"))
+        .groupBy("i")
+        .agg(F.sum("sx").alias("sx"), F.sum("nx").alias("nx"))
+    )
+    mu = firsts.select(
+        "i",
+        (F.col("sx").cast("double") / F.col("nx")).alias("mu"),
+        F.col("nx").alias("n_vecs"),
+    )
+    exy = merged.select(
+        "i", "j", (F.col("sxy").cast("double") / F.col("cnt")).alias("exy")
+    )
+    ma = mu.select(F.col("i"), F.col("mu").alias("mu_i"))
+    mb = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
+    cov = (
+        exy.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select("i", "j", (F.col("exy") - F.col("mu_i") * F.col("mu_j")).alias("c"))
+    )
+    offd = (
+        cov.filter(F.col("i") != F.col("j"))
+        .groupBy("i")
+        .agg(
+            F.sqrt(F.sum((F.col("c") * F.col("c")).cast(_DEC)).cast("double")).alias(
+                "offdiag_norm"
+            )
+        )
+    )
+    diag = cov.filter(F.col("i") == F.col("j")).select("i", F.col("c").alias("variance"))
+    return (
+        mu.join(diag, "i")
+        .join(offd, "i")
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            "n_vecs",
+            round_det(F.col("mu"), 6).alias("mean"),
+            round_det(F.col("variance"), 6).alias("variance"),
+            round_det(F.col("offdiag_norm"), 6).alias("offdiag_norm"),
+            F.lit(n_batches).cast("long").alias("n_batches"),
+        )
+        .orderBy("dim")
+    )

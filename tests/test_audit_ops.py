@@ -313,3 +313,25 @@ def test_snapshot_diff_complements_v1(spark):
     o = table(spark, SF_DIR, "orders")
     n_after = o.filter(F.col("o_orderdate") >= "1998-01-01").count()
     assert added == n_after
+
+
+def test_incremental_gram_matches_numpy(spark):
+    """Merged streaming partials must equal the direct covariance (numpy
+    as the independent reference, at float tolerance)."""
+    import numpy as np
+
+    from hive_feature_demo_spark.plans.audit_ops import q284_incremental_gram
+
+    rows = q284_incremental_gram(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert all(r["n_batches"] == 4 for r in rows)
+    emb = table(spark, SF_DIR, "embeddings").select("embedding").collect()
+    X = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    mean_np = X.mean(axis=0)
+    var_np = X.var(axis=0)
+    for r in sorted(rows, key=lambda r: r["dim"]):
+        d = r["dim"] - 1
+        assert abs(r["mean"] - mean_np[d]) < 1e-5
+        assert abs(r["variance"] - var_np[d]) < 1e-5
+        assert r["n_vecs"] == X.shape[0]
+        assert r["offdiag_norm"] >= 0.0
