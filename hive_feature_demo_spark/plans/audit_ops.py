@@ -2069,3 +2069,142 @@ def q284_incremental_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# q285 — text-normalization audit: the standard cleaning pass (lowercase,
+# strip non-alphanumeric-punctuation, collapse whitespace runs, trim)
+# applied as pure column expressions, reported per source as characters
+# saved and documents changed. The regex class is written identically for
+# Java regex (Spark) and RE2 (DuckDB) — both dialects treat it the same;
+# one narrow scan + 20-key agg, zero shuffles of text beyond the agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q285_text_normalization",
+    oracle="""
+    WITH norm AS (
+      SELECT source, text,
+             TRIM(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 .,!?'']', ' ', 'g'),
+               ' +', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN clean <> text THEN 1 ELSE 0 END) AS docs_changed,
+           SUM(LENGTH(text)) AS chars_before,
+           SUM(LENGTH(clean)) AS chars_after,
+           CAST(FLOOR(10000.0 * (SUM(LENGTH(text)) - SUM(LENGTH(clean)))
+                      / SUM(LENGTH(text))) AS BIGINT) AS savings_bps
+    FROM norm GROUP BY source ORDER BY source
+    """,
+    category="textstats",
+)
+def q285_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 .,!?']", " "),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select("source", "text", clean.alias("clean"))
+    return (
+        norm.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("clean") != F.col("text"), 1).otherwise(0)).alias(
+                "docs_changed"
+            ),
+            F.sum(F.length("text")).alias("chars_before"),
+            F.sum(F.length("clean")).alias("chars_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_changed",
+            "chars_before",
+            "chars_after",
+            F.floor(
+                10000.0
+                * (F.col("chars_before") - F.col("chars_after"))
+                / F.col("chars_before")
+            )
+            .cast("long")
+            .alias("savings_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286 — centered log-ratio (CLR) transform of the daily event-type mix:
+# compositional-data analysis of "what share of the day each event type
+# took", mapping shares out of the simplex so downstream stats
+# (drift detection, PCA) behave linearly. clr = ln(share) - mean_day
+# (ln share), computed over the types present that day; shares are exact
+# count ratios, the per-day mean accumulates the <= |event types| log
+# terms in decimal. Shuffle: one (day, type) agg + one day-partitioned
+# window over calendar-bounded rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q286_clr_composition",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE), event_type
+    ),
+    t AS (
+      SELECT day, event_type, n,
+             SUM(n) OVER (PARTITION BY day) AS day_total,
+             ln(n / CAST(SUM(n) OVER (PARTITION BY day) AS DOUBLE)) AS ln_s
+      FROM c
+    ),
+    m AS (
+      SELECT day,
+             CAST(SUM(CAST(ln_s AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mean_ln
+      FROM t GROUP BY day
+    )
+    SELECT t.day, t.event_type,
+           CAST(FLOOR(10000.0 * t.n / t.day_total) AS BIGINT) AS share_bps,
+           {sql_round_det("t.ln_s - m.mean_ln", 6)} AS clr
+    FROM t JOIN m ON t.day = m.day
+    ORDER BY t.day, t.event_type
+    """,
+    category="stats",
+)
+def q286_clr_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(F.col("ts").cast("date").alias("day"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w_day = Window.partitionBy("day")
+    t = c.select(
+        "day",
+        "event_type",
+        "n",
+        F.sum("n").over(w_day).alias("day_total"),
+        F.log(F.col("n") / F.sum("n").over(w_day).cast("double")).alias("ln_s"),
+    )
+    m = t.groupBy("day").agg(
+        (F.sum(F.col("ln_s").cast(_DEC)).cast("double") / F.count("*")).alias(
+            "mean_ln"
+        )
+    )
+    return (
+        t.join(m, "day")
+        .select(
+            "day",
+            "event_type",
+            F.floor(10000.0 * F.col("n") / F.col("day_total"))
+            .cast("long")
+            .alias("share_bps"),
+            round_det(F.col("ln_s") - F.col("mean_ln"), 6).alias("clr"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -335,3 +335,28 @@ def test_incremental_gram_matches_numpy(spark):
         assert abs(r["variance"] - var_np[d]) < 1e-5
         assert r["n_vecs"] == X.shape[0]
         assert r["offdiag_norm"] >= 0.0
+
+
+def test_text_normalization_audit_bounds(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q285_text_normalization
+
+    for r in q285_text_normalization(spark, SF_DIR).collect():
+        assert r["chars_after"] <= r["chars_before"]
+        assert 0 <= r["savings_bps"] <= 10000
+        assert 0 <= r["docs_changed"] <= r["n_docs"]
+
+
+def test_clr_zero_mean_per_day(spark):
+    """CLR property: the transformed coordinates sum to ~0 within each
+    composition (here: each day), up to the 1e-6 output rounding."""
+    from collections import defaultdict
+
+    from hive_feature_demo_spark.plans.audit_ops import q286_clr_composition
+
+    by_day = defaultdict(list)
+    for r in q286_clr_composition(spark, SF_DIR).collect():
+        by_day[r["day"]].append(r)
+    for day, rows in by_day.items():
+        assert abs(sum(r["clr"] for r in rows)) < 1e-5 * len(rows)
+        total_bps = sum(r["share_bps"] for r in rows)
+        assert 10000 - len(rows) <= total_bps <= 10000
