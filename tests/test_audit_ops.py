@@ -360,3 +360,39 @@ def test_clr_zero_mean_per_day(spark):
         assert abs(sum(r["clr"] for r in rows)) < 1e-5 * len(rows)
         total_bps = sum(r["share_bps"] for r in rows)
         assert 10000 - len(rows) <= total_bps <= 10000
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_audit_family_plan_shapes(spark):
+    """Scale guards: no cartesian/nested-loop joins anywhere in the
+    family's heavy queries, and no unpartitioned window over unbounded
+    rows (q271 classifies via global_cumsum, never a global sort)."""
+    import re
+
+    from hive_feature_demo_spark.plans.audit_ops import (
+        q264_boilerplate_ngrams,
+        q271_abc_classification,
+        q276_rolling_active_users,
+        q278_tfidf_doc_similarity,
+        q280_centroid_silhouette,
+    )
+
+    for fn in (
+        q264_boilerplate_ngrams,
+        q276_rolling_active_users,
+        q278_tfidf_doc_similarity,
+        q280_centroid_silhouette,
+    ):
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+
+    plan = _plan(q271_abc_classification(spark, SF_DIR)).lower()
+    for m in re.finditer(r"windowspecdefinition\(([^,]*),", plan):
+        first = m.group(1)
+        assert " asc" not in first and " desc" not in first, (
+            f"q271: unpartitioned window in plan: {m.group(0)}"
+        )
