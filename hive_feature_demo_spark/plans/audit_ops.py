@@ -2208,3 +2208,169 @@ def q286_clr_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — customer migration matrix: spend terciles in the first half of
+# the order history vs the second half (cut 1998-04-01), with band 0 for
+# customers inactive in a half — the classic BI "segment movement" view.
+# Terciles come from the distributed global_rank operator +
+# ntile_from_rank (exact ANSI NTILE semantics WITHOUT a single-partition
+# window — the same scale-safe machinery as q116/q161/q271); the oracle
+# uses plain NTILE, which the operator provably reproduces. One
+# full-outer join of the two half-tables, then a <= 16-key agg.
+# ---------------------------------------------------------------------------
+
+_H_CUT = "1998-04-01"
+
+
+@register(
+    "q287_customer_migration_matrix",
+    oracle=f"""
+    WITH h1 AS (
+      SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders WHERE o_orderdate < DATE '{_H_CUT}' GROUP BY o_custkey
+    ),
+    h2 AS (
+      SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders WHERE o_orderdate >= DATE '{_H_CUT}' GROUP BY o_custkey
+    ),
+    b1 AS (SELECT o_custkey, NTILE(3) OVER (ORDER BY cents, o_custkey) AS band FROM h1),
+    b2 AS (SELECT o_custkey, NTILE(3) OVER (ORDER BY cents, o_custkey) AS band FROM h2),
+    j AS (
+      SELECT COALESCE(b1.band, 0) AS h1_band, COALESCE(b2.band, 0) AS h2_band
+      FROM b1 FULL OUTER JOIN b2 ON b1.o_custkey = b2.o_custkey
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM j)
+    SELECT CAST(h1_band AS BIGINT) AS h1_band, CAST(h2_band AS BIGINT) AS h2_band,
+           COUNT(*) AS n_customers,
+           CAST(FLOOR(10000.0 * COUNT(*) / MAX(tot.n)) AS BIGINT) AS share_bps
+    FROM j CROSS JOIN tot
+    GROUP BY h1_band, h2_band
+    ORDER BY h1_band, h2_band
+    """,
+    category="relational",
+)
+def q287_customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.relational_ext import (
+        global_rank,
+        ntile_from_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+
+    def half_bands(pred, alias):
+        h = o.filter(pred).groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+        n = h.count()
+        ranked = global_rank(h, ["cents", "o_custkey"], rank_col="r")
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("r"), n, 3).alias(alias),
+        )
+
+    b1 = half_bands(F.col("o_orderdate") < _H_CUT, "h1_band")
+    b2 = half_bands(F.col("o_orderdate") >= _H_CUT, "h2_band")
+    j = b1.join(b2, "o_custkey", "full_outer").select(
+        F.coalesce("h1_band", F.lit(0)).cast("long").alias("h1_band"),
+        F.coalesce("h2_band", F.lit(0)).cast("long").alias("h2_band"),
+    )
+    tot = j.agg(F.count("*").alias("n"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("h1_band", "h2_band")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.floor(10000.0 * F.count("*") / F.max("n")).cast("long").alias(
+                "share_bps"
+            ),
+        )
+        .orderBy("h1_band", "h2_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q288 — point-in-time feature join (feature-store correctness): for
+# every order, the customer's event count and value sum STRICTLY BEFORE
+# the order timestamp — the leakage-free training-feature computation
+# (training-serving skew starts exactly where this op is done wrong).
+# NOT a per-order subquery: orders and events union into one stream per
+# user, a single user-partitioned running window computes the features
+# for all orders in one pass (order rows sort BEFORE event rows at equal
+# ts, so ties stay strictly-before). Cost: one shuffle on user_id,
+# regardless of how many orders per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q288_point_in_time_features",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, ts, 1 AS at_tie, event_id AS rid, value,
+             1 AS is_event, CAST(NULL AS BIGINT) AS o_orderkey
+      FROM events
+      UNION ALL
+      SELECT o_custkey AS user_id, o_orderdate AS ts, 0 AS at_tie,
+             o_orderkey AS rid, 0.0 AS value, 0 AS is_event, o_orderkey
+      FROM orders
+    ),
+    runs AS (
+      SELECT *,
+             COALESCE(SUM(is_event) OVER w, 0) AS events_before,
+             COALESCE(SUM(CAST(value AS DECIMAL(25,10))) OVER w, 0) AS value_dec
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, at_tie, rid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT o_orderkey, user_id AS o_custkey,
+           CAST(events_before AS BIGINT) AS events_before,
+           {sql_round_det("CAST(value_dec AS DOUBLE)", 6)} AS value_before
+    FROM runs WHERE is_event = 0
+    ORDER BY o_orderkey
+    """,
+    category="relational",
+)
+def q288_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("at_tie"),
+        F.col("event_id").alias("rid"),
+        "value",
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("at_tie"),
+        F.col("o_orderkey").alias("rid"),
+        F.lit(0.0).alias("value"),
+        F.lit(0).alias("is_event"),
+        "o_orderkey",
+    )
+    u = e.unionByName(o)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "at_tie", "rid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = u.select(
+        "o_orderkey",
+        "user_id",
+        "is_event",
+        F.coalesce(F.sum("is_event").over(w), F.lit(0)).alias("events_before"),
+        F.coalesce(
+            F.sum(F.col("value").cast(_DEC)).over(w), F.lit(0).cast(_DEC)
+        ).alias("value_dec"),
+    )
+    return (
+        runs.filter(F.col("is_event") == 0)
+        .select(
+            "o_orderkey",
+            F.col("user_id").alias("o_custkey"),
+            F.col("events_before").cast("long").alias("events_before"),
+            round_det(F.col("value_dec").cast("double"), 6).alias("value_before"),
+        )
+        .orderBy("o_orderkey")
+    )

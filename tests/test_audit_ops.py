@@ -396,3 +396,50 @@ def test_audit_family_plan_shapes(spark):
         assert " asc" not in first and " desc" not in first, (
             f"q271: unpartitioned window in plan: {m.group(0)}"
         )
+
+
+def test_migration_matrix_partitions_customers(spark):
+    from hive_feature_demo_spark.plans.audit_ops import (
+        q287_customer_migration_matrix,
+    )
+
+    rows = q287_customer_migration_matrix(spark, SF_DIR).collect()
+    total_cust = (
+        table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == total_cust
+    for r in rows:
+        assert 0 <= r["h1_band"] <= 3 and 0 <= r["h2_band"] <= 3
+        assert not (r["h1_band"] == 0 and r["h2_band"] == 0)  # active somewhere
+
+
+def test_point_in_time_features_leakage_free(spark):
+    """Brute-force reference on a sample of orders: events strictly
+    before the order timestamp, same user."""
+    from hive_feature_demo_spark.plans.audit_ops import (
+        q288_point_in_time_features,
+    )
+
+    got = {
+        r["o_orderkey"]: r
+        for r in q288_point_in_time_features(spark, SF_DIR).collect()
+    }
+    orders = table(spark, SF_DIR, "orders").limit(50).collect()
+    events = table(spark, SF_DIR, "events").collect()
+    from decimal import Decimal
+
+    for o in orders:
+        mine = [
+            e
+            for e in events
+            if e["user_id"] == o["o_custkey"] and e["ts"] < o["o_orderdate"]
+        ]
+        r = got[o["o_orderkey"]]
+        assert r["events_before"] == len(mine)
+        expect = float(
+            sum(
+                (Decimal(e["value"]).quantize(Decimal("1e-10")) for e in mine),
+                Decimal(0),
+            )
+        )
+        assert abs(r["value_before"] - expect) < 1e-5
