@@ -2374,3 +2374,141 @@ def q288_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q289 — part-affinity mining: parts co-purchased within the same order,
+# scored by support and lift — the retail market-basket complement to
+# q220's session-basket rules (different fact, different basket key).
+# Pair generation is the basket self-join (cost sum_order(items^2),
+# bounded by basket size, never corpus size); per-part priors broadcast
+# back into the pair table. Lift ratios are deterministic double
+# divisions of exact integer counts; the report keeps pairs with
+# support >= 5 orders.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q289_part_affinity",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    prior AS (
+      SELECT l_partkey, COUNT(*) AS n_part FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.n_both,
+           {sql_round_det(
+               "(CAST(p.n_both AS DOUBLE) * n.n_orders) / (pa.n_part * CAST(pb.n_part AS DOUBLE))",
+               6,
+           )} AS lift
+    FROM pairs p
+    JOIN prior pa ON pa.l_partkey = p.part_a
+    JOIN prior pb ON pb.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.n_both >= 5
+    ORDER BY p.n_both DESC, p.part_a, p.part_b
+    """,
+    category="stats",
+)
+def q289_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    prior = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = baskets.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = baskets.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    pa = prior.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = prior.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            round_det(
+                (F.col("n_both").cast("double") * F.lit(n_orders))
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290 — index of dispersion (variance-to-mean ratio) of orders per
+# customer, by market segment: the overdispersion screen that tells a
+# capacity planner whether demand is Poisson-like (VMR ~ 1) or bursty
+# (VMR >> 1). Counts aggregate per customer (co-partitioned join keeps
+# the segment), then a 5-key moment agg; variance from exact decimal
+# power sums; includes zero-order customers via the dimension side so
+# the mean is over ALL customers in the segment.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q290_dispersion_index",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT c.c_mktsegment, c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    mom AS (
+      SELECT c_mktsegment,
+             COUNT(*) AS n_customers,
+             {sql_exact_sum("CAST(n_orders AS DOUBLE)")} AS s1,
+             {sql_exact_sum("CAST(n_orders AS DOUBLE) * n_orders")} AS s2
+      FROM per_cust GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n_customers,
+           {sql_round_det("s1 / n_customers", 6)} AS mean_orders,
+           {sql_round_det("s2 / n_customers - (s1 / n_customers) * (s1 / n_customers)", 6)}
+             AS var_orders,
+           {sql_round_det(
+               "(s2 / n_customers - (s1 / n_customers) * (s1 / n_customers)) / (s1 / n_customers)",
+               6,
+           )} AS dispersion
+    FROM mom ORDER BY c_mktsegment
+    """,
+    category="stats",
+)
+def q290_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    nd = F.col("n_orders").cast("double")
+    mom = per_cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(nd.cast(_DEC)).cast("double").alias("s1"),
+        F.sum((nd * F.col("n_orders")).cast(_DEC)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_customers")
+    var = F.col("s2") / F.col("n_customers") - mean * mean
+    return mom.select(
+        "c_mktsegment",
+        "n_customers",
+        round_det(mean, 6).alias("mean_orders"),
+        round_det(var, 6).alias("var_orders"),
+        round_det(var / mean, 6).alias("dispersion"),
+    ).orderBy("c_mktsegment")

@@ -443,3 +443,24 @@ def test_point_in_time_features_leakage_free(spark):
             )
         )
         assert abs(r["value_before"] - expect) < 1e-5
+
+
+def test_part_affinity_symmetric_and_supported(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q289_part_affinity
+
+    rows = q289_part_affinity(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_both"] >= 5
+        assert r["lift"] > 0.0
+
+
+def test_dispersion_index_positive_and_complete(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q290_dispersion_index
+
+    rows = q290_dispersion_index(spark, SF_DIR).collect()
+    total = sum(r["n_customers"] for r in rows)
+    assert total == table(spark, SF_DIR, "customer").count()
+    for r in rows:
+        assert r["mean_orders"] >= 0.0
+        assert r["var_orders"] >= -1e-9
