@@ -2512,3 +2512,222 @@ def q290_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_det(var, 6).alias("var_orders"),
         round_det(var / mean, 6).alias("dispersion"),
     ).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q291 — Kolmogorov-Smirnov length-drift screen: for each source, the KS
+# statistic between its doc-length ECDF and the rest-of-corpus ECDF —
+# the standard two-sample distribution-shift alarm, nonparametric and
+# scale-free. ECDFs evaluate on the (source x distinct-length) grid
+# (bounded by value cardinality x sources, never corpus size); windows
+# partition per source over that bounded grid; the statistic is an exact
+# integer-count ratio difference reported in basis points.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q291_ks_length_drift",
+    oracle="""
+    WITH ct AS (
+      SELECT n_chars AS v, COUNT(*) AS n FROM documents GROUP BY n_chars
+    ),
+    cs AS (
+      SELECT source, n_chars AS v, COUNT(*) AS n
+      FROM documents GROUP BY source, n_chars
+    ),
+    src AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_all FROM documents),
+    grid AS (
+      SELECT s.source, s.n_src, c.v, COALESCE(cs.n, 0) AS n_s, c.n AS n_t
+      FROM src s CROSS JOIN ct c
+      LEFT JOIN cs ON cs.source = s.source AND cs.v = c.v
+    ),
+    cum AS (
+      SELECT source, n_src, v,
+             SUM(n_s) OVER w AS cum_s,
+             SUM(n_t) OVER w AS cum_t
+      FROM grid
+      WINDOW w AS (PARTITION BY source ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c.source, MAX(c.n_src) AS n_docs,
+           CAST(FLOOR(10000.0 * MAX(ABS(
+             c.cum_s / CAST(c.n_src AS DOUBLE)
+             - (c.cum_t - c.cum_s) / CAST(t.n_all - c.n_src AS DOUBLE)
+           ))) AS BIGINT) AS ks_bps
+    FROM cum c CROSS JOIN tot t
+    GROUP BY c.source ORDER BY c.source
+    """,
+    category="stats",
+)
+def q291_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ct = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("n_t"))
+    cs = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("n_s")
+    )
+    src = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    n_all = d.count()
+    grid = (
+        src.crossJoin(F.broadcast(ct))
+        .join(cs, ["source", "v"], "left")
+        .select(
+            "source", "n_src", "v", F.coalesce("n_s", F.lit(0)).alias("n_s"), "n_t"
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n_src",
+        F.sum("n_s").over(w).alias("cum_s"),
+        F.sum("n_t").over(w).alias("cum_t"),
+    )
+    diff = F.abs(
+        F.col("cum_s") / F.col("n_src").cast("double")
+        - (F.col("cum_t") - F.col("cum_s"))
+        / (F.lit(n_all) - F.col("n_src")).cast("double")
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_docs"),
+            F.floor(10000.0 * F.max(diff)).cast("long").alias("ks_bps"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292 — one-way ANOVA effect size (eta-squared) of event value across
+# day-of-week groups, per event type: how much of the value variance the
+# weekly cycle explains — the strength-of-seasonality companion to
+# q252's anomaly detection (which assumes the cycle matters; this
+# measures whether it does). Everything derives from exact decimal power
+# sums per (type, dow) — one grouped pass, 7 x |types| cells.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q292_anova_eta2",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+             COUNT(*) AS n,
+             {sql_exact_sum("value")} AS s1,
+             {sql_exact_sum("value * value")} AS s2
+      FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE))
+    ),
+    per_type AS (
+      SELECT event_type,
+             SUM(n) AS n_tot,
+             {sql_exact_sum("s1")} AS s1_tot,
+             {sql_exact_sum("s2")} AS s2_tot,
+             {sql_exact_sum("(s1 / n) * s1")} AS sum_ng_mg2,
+             COUNT(*) AS n_groups
+      FROM cells GROUP BY event_type
+    )
+    SELECT event_type, n_tot AS n_events, n_groups,
+           {sql_round_det(
+               "(sum_ng_mg2 - (s1_tot / n_tot) * s1_tot)"
+               " / (s2_tot - (s1_tot / n_tot) * s1_tot)",
+               6,
+           )} AS eta2
+    FROM per_type ORDER BY event_type
+    """,
+    category="stats",
+)
+def q292_anova_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.dayofweek(F.col("ts").cast("date")).alias("dow")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(_DEC)).cast("double").alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast(_DEC)).cast("double").alias("s2"),
+    )
+    per_type = cells.groupBy("event_type").agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.col("s1").cast(_DEC)).cast("double").alias("s1_tot"),
+        F.sum(F.col("s2").cast(_DEC)).cast("double").alias("s2_tot"),
+        F.sum(((F.col("s1") / F.col("n")) * F.col("s1")).cast(_DEC))
+        .cast("double")
+        .alias("sum_ng_mg2"),
+        F.count("*").alias("n_groups"),
+    )
+    ss_between = F.col("sum_ng_mg2") - (F.col("s1_tot") / F.col("n_tot")) * F.col(
+        "s1_tot"
+    )
+    ss_total = F.col("s2_tot") - (F.col("s1_tot") / F.col("n_tot")) * F.col("s1_tot")
+    return per_type.select(
+        "event_type",
+        F.col("n_tot").alias("n_events"),
+        "n_groups",
+        round_det(ss_between / ss_total, 6).alias("eta2"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q293 — embedding-coverage audit: per source, how many documents have a
+# matching embedding row (doc_id = vec_id) and the mean L2 norm of those
+# embeddings — the join-key health check between the text corpus and its
+# vector index (a source with missing or degenerate-norm vectors breaks
+# retrieval silently). Co-partitioned left join + per-vector decimal
+# norm; coverage in exact basis points.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q293_embedding_coverage",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, sqrt({sql_exact_sum("embedding[t.i] * embedding[t.i]")}) AS nrm
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY vec_id
+    ),
+    j AS (
+      SELECT d.source, d.doc_id, n.nrm
+      FROM documents d LEFT JOIN norms n ON d.doc_id = n.vec_id
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(nrm) AS n_with_embedding,
+           CAST(FLOOR(10000.0 * COUNT(nrm) / COUNT(*)) AS BIGINT) AS coverage_bps,
+           {sql_round_det(f"COALESCE({sql_exact_sum('nrm')} / COUNT(nrm), 0.0)", 6)}
+             AS mean_norm
+    FROM j GROUP BY source ORDER BY source
+    """,
+    category="ann",
+)
+def q293_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    norms = d.groupBy("vec_id").agg(
+        F.sqrt(F.sum((F.col("v") * F.col("v")).cast(_DEC)).cast("double")).alias("nrm")
+    )
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id")
+    j = docs.join(norms, docs.doc_id == norms.vec_id, "left")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("nrm").alias("n_with_embedding"),
+            F.floor(10000.0 * F.count("nrm") / F.count("*"))
+            .cast("long")
+            .alias("coverage_bps"),
+            round_det(
+                F.coalesce(
+                    F.sum(F.col("nrm").cast(_DEC)).cast("double") / F.count("nrm"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("mean_norm"),
+        )
+        .orderBy("source")
+    )

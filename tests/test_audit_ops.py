@@ -464,3 +464,30 @@ def test_dispersion_index_positive_and_complete(spark):
     for r in rows:
         assert r["mean_orders"] >= 0.0
         assert r["var_orders"] >= -1e-9
+
+
+def test_ks_drift_bounds(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q291_ks_length_drift
+
+    rows = q291_ks_length_drift(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in rows) == table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert 0 <= r["ks_bps"] <= 10000
+
+
+def test_anova_eta2_in_unit_interval(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q292_anova_eta2
+
+    for r in q292_anova_eta2(spark, SF_DIR).collect():
+        assert -1e-9 <= r["eta2"] <= 1.0 + 1e-9
+        assert 1 <= r["n_groups"] <= 7
+
+
+def test_embedding_coverage_complete_here(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q293_embedding_coverage
+
+    for r in q293_embedding_coverage(spark, SF_DIR).collect():
+        assert r["n_with_embedding"] <= r["n_docs"]
+        assert 0 <= r["coverage_bps"] <= 10000
+        if r["n_with_embedding"]:
+            assert r["mean_norm"] > 0.0
