@@ -2731,3 +2731,146 @@ def q293_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q294 — trending terms: the vocabulary-drift movers between the first
+# and second half of the corpus (doc_id below/above the midpoint — the
+# ingestion-order proxy), ranked by absolute share change in basis
+# points. The "what changed in this crawl" screen a curation pipeline
+# runs per snapshot. Term counting is the standard two-level agg; a df
+# floor (>= 20 total occurrences) keeps noise terms out before shares
+# are compared; the top-20 ranks on the exact integer bps delta.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q294_trending_terms",
+    oracle="""
+    WITH mid AS (
+      SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents
+    ),
+    inst AS (
+      SELECT CASE WHEN d.doc_id <= mid.m THEN 1 ELSE 2 END AS half,
+             unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS term
+      FROM documents d CROSS JOIN mid
+    ),
+    tf AS (SELECT half, term, COUNT(*) AS n FROM inst GROUP BY half, term),
+    tot AS (SELECT half, SUM(n) AS t FROM tf GROUP BY half),
+    shares AS (
+      SELECT t1.term,
+             COALESCE(a.n, 0) AS n1, COALESCE(b.n, 0) AS n2,
+             CAST(FLOOR(10000.0 * COALESCE(a.n, 0) / ta.t) AS BIGINT) AS bps1,
+             CAST(FLOOR(10000.0 * COALESCE(b.n, 0) / tb.t) AS BIGINT) AS bps2
+      FROM (SELECT DISTINCT term FROM tf) t1
+      LEFT JOIN tf a ON a.term = t1.term AND a.half = 1
+      LEFT JOIN tf b ON b.term = t1.term AND b.half = 2
+      CROSS JOIN (SELECT t FROM tot WHERE half = 1) ta
+      CROSS JOIN (SELECT t FROM tot WHERE half = 2) tb
+      WHERE COALESCE(a.n, 0) + COALESCE(b.n, 0) >= 20
+    )
+    SELECT term, n1, n2, bps1, bps2, (bps2 - bps1) AS delta_bps
+    FROM shares
+    ORDER BY ABS(bps2 - bps1) DESC, term
+    LIMIT 20
+    """,
+    category="textstats",
+)
+def q294_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    mid = (lo + hi) // 2
+    inst = d.select(
+        F.when(F.col("doc_id") <= mid, 1).otherwise(2).alias("half"),
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("term"),
+    )
+    tf = inst.groupBy("half", "term").agg(F.count("*").alias("n"))
+    tot = {r["half"]: r["t"] for r in tf.groupBy("half").agg(F.sum("n").alias("t")).collect()}
+    a = tf.filter(F.col("half") == 1).select("term", F.col("n").alias("n1"))
+    b = tf.filter(F.col("half") == 2).select("term", F.col("n").alias("n2"))
+    shares = (
+        a.join(b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+        .filter(F.col("n1") + F.col("n2") >= 20)
+        .select(
+            "term",
+            "n1",
+            "n2",
+            F.floor(10000.0 * F.col("n1") / F.lit(float(tot[1])))
+            .cast("long")
+            .alias("bps1"),
+            F.floor(10000.0 * F.col("n2") / F.lit(float(tot[2])))
+            .cast("long")
+            .alias("bps2"),
+        )
+    )
+    return (
+        shares.withColumn("delta_bps", F.col("bps2") - F.col("bps1"))
+        .orderBy(F.abs(F.col("delta_bps")).desc(), "term")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q295 — chi-square cell diagnostics: the standardized residual
+# (o - e) / sqrt(e) for every (lang, source) cell — q279 says WHETHER
+# language mix depends on source; this says WHICH cells drive it (the
+# |residual| > 2 cells are the anomalous source-language combinations).
+# Same broadcast-marginal shape as q279; residuals are deterministic
+# double arithmetic over exact integer counts, floor-rounded.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q295_chisq_residuals",
+    oracle=f"""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT SUM(o) AS total FROM obs)
+    SELECT obs.lang, obs.source, obs.o,
+           {sql_round_det("(CAST(rt.r AS DOUBLE) * ct.c) / n.total", 4)} AS expected,
+           {sql_round_det(
+               "(obs.o - (CAST(rt.r AS DOUBLE) * ct.c) / n.total)"
+               " / sqrt((CAST(rt.r AS DOUBLE) * ct.c) / n.total)",
+               4,
+           )} AS std_residual,
+           (ABS((obs.o - (CAST(rt.r AS DOUBLE) * ct.c) / n.total)
+                / sqrt((CAST(rt.r AS DOUBLE) * ct.c) / n.total)) > 2.0) AS anomalous
+    FROM obs JOIN rt ON obs.lang = rt.lang
+             JOIN ct ON obs.source = ct.source
+             CROSS JOIN n
+    ORDER BY obs.lang, obs.source
+    """,
+    category="stats",
+)
+def q295_chisq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("total"))
+    e = (F.col("r").cast("double") * F.col("c")) / F.col("total")
+    resid = (F.col("o") - e) / F.sqrt(e)
+    return (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            round_det(e, 4).alias("expected"),
+            round_det(resid, 4).alias("std_residual"),
+            (F.abs(resid) > 2.0).alias("anomalous"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -491,3 +491,29 @@ def test_embedding_coverage_complete_here(spark):
         assert 0 <= r["coverage_bps"] <= 10000
         if r["n_with_embedding"]:
             assert r["mean_norm"] > 0.0
+
+
+def test_trending_terms_sorted_by_abs_delta(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q294_trending_terms
+
+    rows = q294_trending_terms(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    deltas = [abs(r["delta_bps"]) for r in rows]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in rows:
+        assert r["delta_bps"] == r["bps2"] - r["bps1"]
+        assert r["n1"] + r["n2"] >= 20
+
+
+def test_chisq_residuals_reconstruct_chi2(spark):
+    """Sum of squared UNROUNDED residuals ~ q279's chi2 (rounding makes
+    it approximate; tolerance scales with cell count)."""
+    from hive_feature_demo_spark.plans.audit_ops import (
+        q279_chisq_independence,
+        q295_chisq_residuals,
+    )
+
+    chi2 = q279_chisq_independence(spark, SF_DIR).collect()[0]["chi2"]
+    rows = q295_chisq_residuals(spark, SF_DIR).collect()
+    approx = sum(r["std_residual"] ** 2 for r in rows)
+    assert abs(approx - chi2) < 0.01 * len(rows) + 0.1
