@@ -415,3 +415,37 @@ def test_q188_skyline_is_single_pass_no_self_join(spark):
     for join_kind in ("SortMergeJoin", "BroadcastHashJoin",
                       "ShuffledHashJoin", "CartesianProduct"):
         assert join_kind not in plan, f"unexpected {join_kind} in skyline plan"
+
+
+def test_join_strategy_hints_equivalent(spark):
+    """The same logical join under BROADCAST / MERGE / SHUFFLE_HASH hints
+    must pick the hinted physical operator AND produce identical results —
+    the join-strategy matrix an engine must honor for tuning without
+    semantic risk."""
+    from hive_feature_demo_spark.catalog import table
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    results = {}
+    expected_node = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for hint, node in expected_node.items():
+            j = (
+                o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+                .groupBy("c_mktsegment")
+                .count()
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert node in plan, f"hint {hint}: {node} not in plan"
+            results[hint] = sorted(
+                (r["c_mktsegment"], r["count"]) for r in j.collect()
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert results["broadcast"] == results["merge"] == results["shuffle_hash"]
