@@ -2874,3 +2874,156 @@ def q295_chisq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — dedup ROI curve: corpus survival at Jaccard thresholds
+# {0.5, 0.7, 0.9} from ONE exact n-gram pair table (q39's inverted
+# index, computed once and checkpointed; only the verify filter varies),
+# with the deterministic smaller-id-survives rule. The calibration view
+# a curation pipeline needs before committing to a threshold: how much
+# corpus each setting costs. Pair cost is paid once; each threshold is
+# a filter + anti-join over the bounded pair set.
+# ---------------------------------------------------------------------------
+
+
+def _q296_oracle() -> str:
+    from hive_feature_demo_spark.plans.llmops import _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_b, CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+    ),
+    thr AS (SELECT CAST(t.threshold AS DOUBLE) AS threshold
+            FROM (VALUES (0.5), (0.7), (0.9)) t(threshold)),
+    removed AS (
+      SELECT thr.threshold, p.id_b
+      FROM thr JOIN pairs p ON p.jaccard >= thr.threshold
+      GROUP BY thr.threshold, p.id_b
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(n_chars) AS chars FROM documents)
+    SELECT thr.threshold,
+           SUM(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN r.id_b IS NULL THEN d.n_chars ELSE 0 END) AS chars_kept,
+           CAST(FLOOR(10000.0 * (t.chars -
+             SUM(CASE WHEN r.id_b IS NULL THEN d.n_chars ELSE 0 END))
+             / t.chars) AS BIGINT) AS savings_bps
+    FROM thr CROSS JOIN documents d
+    LEFT JOIN removed r ON r.threshold = thr.threshold AND r.id_b = d.doc_id
+    CROSS JOIN tot t
+    GROUP BY thr.threshold, t.chars
+    ORDER BY thr.threshold
+    """
+
+
+@register("q296_dedup_roi_curve", oracle=_q296_oracle(), category="llmops")
+def q296_dedup_roi_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_b", "jaccard"
+    ).localCheckpoint(eager=True)
+    thr = spark.createDataFrame([(0.5,), (0.7,), (0.9,)], "threshold double")
+    removed = (
+        thr.crossJoin(pairs)
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .select(F.col("threshold").alias("r_thr"), "id_b")
+        .distinct()
+    )
+    tot = docs.agg(F.sum("n_chars").alias("chars"))
+    graded = (
+        thr.crossJoin(docs.select("doc_id", "n_chars"))
+        .join(
+            removed,
+            (F.col("id_b") == F.col("doc_id")) & (F.col("r_thr") == F.col("threshold")),
+            "left",
+        )
+        .select(
+            "threshold",
+            "n_chars",
+            F.col("id_b").isNull().alias("kept"),
+        )
+    )
+    return (
+        graded.groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0)).alias(
+                "chars_kept"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_kept",
+            "chars_kept",
+            F.floor(
+                10000.0 * (F.col("chars") - F.col("chars_kept")) / F.col("chars")
+            )
+            .cast("long")
+            .alias("savings_bps"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q297 — mixture rebalancing plan: per-source character budgets and the
+# keep-rate (in basis points) that equalizes every source to the
+# smallest source's volume — the downsampling plan that q142's weighted
+# mixture sampler would execute (this op PLANS, q142 SAMPLES; same
+# relationship as q258's skew advisor to the salted join). All integer
+# arithmetic: rates floor to bps, expected volumes floor from the rate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q297_mixture_rebalance_plan",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      FROM documents GROUP BY source
+    ),
+    m AS (SELECT MIN(chars) AS target FROM s)
+    SELECT s.source, s.n_docs, s.chars,
+           CAST(FLOOR(10000.0 * m.target / s.chars) AS BIGINT) AS keep_rate_bps,
+           CAST(FLOOR(s.chars * FLOOR(10000.0 * m.target / s.chars) / 10000.0)
+                AS BIGINT) AS expected_chars
+    FROM s CROSS JOIN m
+    ORDER BY s.source
+    """,
+    category="curation",
+)
+def q297_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    m = s.agg(F.min("chars").alias("target"))
+    rate = F.floor(10000.0 * F.col("target") / F.col("chars"))
+    return (
+        s.crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            rate.cast("long").alias("keep_rate_bps"),
+            F.floor(F.col("chars") * rate / 10000.0).cast("long").alias(
+                "expected_chars"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -517,3 +517,30 @@ def test_chisq_residuals_reconstruct_chi2(spark):
     rows = q295_chisq_residuals(spark, SF_DIR).collect()
     approx = sum(r["std_residual"] ** 2 for r in rows)
     assert abs(approx - chi2) < 0.01 * len(rows) + 0.1
+
+
+def test_dedup_roi_monotone(spark):
+    """Higher threshold -> fewer removals -> more kept."""
+    from hive_feature_demo_spark.plans.audit_ops import q296_dedup_roi_curve
+
+    rows = sorted(
+        q296_dedup_roi_curve(spark, SF_DIR).collect(), key=lambda r: r["threshold"]
+    )
+    assert [r["threshold"] for r in rows] == [0.5, 0.7, 0.9]
+    kept = [r["n_kept"] for r in rows]
+    assert kept == sorted(kept)
+    n_docs = table(spark, SF_DIR, "documents").count()
+    for r in rows:
+        assert r["n_kept"] <= n_docs
+        assert 0 <= r["savings_bps"] <= 10000
+
+
+def test_mixture_plan_equalizes_to_min(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q297_mixture_rebalance_plan
+
+    rows = q297_mixture_rebalance_plan(spark, SF_DIR).collect()
+    target = min(r["chars"] for r in rows)
+    for r in rows:
+        assert 0 < r["keep_rate_bps"] <= 10000
+        assert r["expected_chars"] <= target  # floor never overshoots
+        assert r["expected_chars"] >= target - (r["chars"] // 10000) - 1
