@@ -3027,3 +3027,316 @@ def q297_mixture_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q298 — binned two-sample KS on order values, first half vs second half
+# of the order history: q291's KS needs the distinct-value grid, which is
+# bounded for integer lengths but NOT for near-continuous money — so
+# this variant bins values onto a fixed 1024-cell grid first (the same
+# value-grid device as global_rank), making ECDF evaluation
+# grid-bounded at any scale, at grid-resolution cost that is explicit in
+# the name. Both engines floor the identical (p - min)/step division.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q298_binned_ks_price_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+      SELECT CASE WHEN o.o_orderdate < DATE '{_H_CUT}' THEN 1 ELSE 2 END AS half,
+             CAST(LEAST(1023, GREATEST(0,
+               FLOOR((o.o_totalprice - b.lo) / ((b.hi - b.lo) / 1024.0))
+             )) AS BIGINT) AS cell
+      FROM orders o CROSS JOIN bounds b
+    ),
+    counts AS (
+      SELECT cell,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS n2
+      FROM binned GROUP BY cell
+    ),
+    tot AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM counts),
+    cum AS (
+      SELECT SUM(n1) OVER (ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             SUM(n2) OVER (ORDER BY cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM counts
+    )
+    SELECT MAX(t.t1) AS n_first_half, MAX(t.t2) AS n_second_half,
+           1024 AS n_cells,
+           CAST(FLOOR(10000.0 * MAX(ABS(
+             c.c1 / CAST(t.t1 AS DOUBLE) - c.c2 / CAST(t.t2 AS DOUBLE)
+           ))) AS BIGINT) AS ks_bps
+    FROM cum c CROSS JOIN tot t
+    """,
+    category="stats",
+)
+def q298_binned_ks_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    lo, hi = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    step = (hi - lo) / 1024.0
+    binned = o.select(
+        F.when(F.col("o_orderdate") < _H_CUT, 1).otherwise(2).alias("half"),
+        F.least(
+            F.lit(1023),
+            F.greatest(
+                F.lit(0), F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(step))
+            ),
+        )
+        .cast("long")
+        .alias("cell"),
+    )
+    counts = binned.groupBy("cell").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("n2"),
+    )
+    tot = counts.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    # the 1024-row cumulative runs on the bounded grid — single partition
+    # is safe BY CONSTRUCTION (grid size, not data size)
+    w = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        F.sum("n1").over(w).alias("c1"), F.sum("n2").over(w).alias("c2")
+    )
+    diff = F.abs(
+        F.col("c1") / F.col("t1").cast("double")
+        - F.col("c2") / F.col("t2").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("t1").alias("n_first_half"),
+            F.max("t2").alias("n_second_half"),
+            F.lit(1024).alias("n_cells"),
+            F.floor(10000.0 * F.max(diff)).cast("long").alias("ks_bps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q299 — Markov stationary distribution: the long-run share of each
+# event type under q205's transition matrix, by 30 fixed power-iteration
+# rounds of pi <- pi P on the |types| x |types| matrix (5x5 here) — the
+# steady-state complement to q205's one-step probabilities, same
+# fixed-round engine-exact contract as q162/q281. Transition
+# probabilities are exact count ratios; every matrix-vector term sums in
+# decimal; the oracle unrolls the same rounds as MATERIALIZED CTEs.
+# ---------------------------------------------------------------------------
+
+_MK_ROUNDS = 30
+
+
+def _q299_oracle() -> str:
+    it = """
+    p{k} AS MATERIALIZED (
+      SELECT tm.to_type AS t,
+             CAST(SUM(CAST(p{j}.pr * tm.p AS DECIMAL(25,10))) AS DOUBLE) AS pr
+      FROM tm JOIN p{j} ON tm.from_type = p{j}.t GROUP BY tm.to_type
+    )"""
+    rounds = "".join("," + it.format(k=k, j=k - 1) for k in range(1, _MK_ROUNDS + 1))
+    return (
+        """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    tm AS MATERIALIZED (
+      SELECT from_type, to_type,
+             n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM pairs
+    ),
+    types AS MATERIALIZED (SELECT DISTINCT from_type AS t FROM pairs),
+    nt AS (SELECT COUNT(*) AS k FROM types),
+    p0 AS (SELECT types.t, 1.0 / nt.k AS pr FROM types CROSS JOIN nt)"""
+        + rounds
+        + f"""
+    SELECT p{_MK_ROUNDS}.t AS event_type,
+           (FLOOR(p{_MK_ROUNDS}.pr * 1000000.0 + 0.5) / 1000000.0) AS stationary,
+           CAST(FLOOR(10000.0 * p{_MK_ROUNDS}.pr) AS BIGINT) AS stationary_bps
+    FROM p{_MK_ROUNDS} ORDER BY event_type
+    """
+    )
+
+
+@register("q299_markov_stationary", oracle=_q299_oracle(), category="stats")
+def q299_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    w_row = Window.partitionBy("from_type")
+    tm = pairs.select(
+        "from_type",
+        "to_type",
+        (F.col("n") / F.sum("n").over(w_row).cast("double")).alias("p"),
+    ).localCheckpoint(eager=True)
+    types = [r["from_type"] for r in tm.select("from_type").distinct().collect()]
+    k = len(types)
+    pi = spark.createDataFrame([(t, 1.0 / k) for t in sorted(types)], "t string, pr double")
+    for _ in range(_MK_ROUNDS):
+        rows = (
+            tm.join(pi, tm.from_type == pi.t)
+            .groupBy(F.col("to_type").alias("nt"))
+            .agg(
+                F.sum((F.col("pr") * F.col("p")).cast(_DEC)).cast("double").alias(
+                    "npr"
+                )
+            )
+            .collect()
+        )
+        pi = spark.createDataFrame(
+            [(r["nt"], float(r["npr"])) for r in rows], "t string, pr double"
+        )
+    return pi.select(
+        F.col("t").alias("event_type"),
+        round_det(F.col("pr"), 6).alias("stationary"),
+        F.floor(10000.0 * F.col("pr")).cast("long").alias("stationary_bps"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q300 — curation waterfall: the end-to-end token-budget ledger of a
+# training-data pipeline as ONE report — raw corpus, after exact dedup
+# (md5, min-id survivor), after near-dup dedup (3-gram Jaccard >= 0.8,
+# smaller-id survives, pairs computed among exact survivors), after
+# quality bounds (100 <= n_chars <= 500), and the post-rebalance budget
+# (q297's keep-rates applied to the surviving per-source volumes). Each
+# stage reuses the engine's own operator semantics; the oracle replays
+# every rule. The report a data lead reads before a training run:
+# where the corpus went.
+# ---------------------------------------------------------------------------
+
+
+def _q300_oracle() -> str:
+    return """
+    WITH surv1 AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keeper
+            FROM documents GROUP BY md5(text)) k
+        ON md5(d.text) = k.h AND d.doc_id = k.keeper
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM surv1
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    removed2 AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b USING (shingle)
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, sa.ns, sb.ns
+      HAVING CAST(COUNT(*) AS DOUBLE) / (sa.ns + sb.ns - COUNT(*)) >= 0.8
+    ),
+    surv2 AS (
+      SELECT * FROM surv1 WHERE doc_id NOT IN (SELECT doc_id FROM removed2)
+    ),
+    surv3 AS (
+      SELECT * FROM surv2 WHERE n_chars BETWEEN 100 AND 500
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+      FROM surv3 GROUP BY source
+    ),
+    target AS (SELECT MIN(chars) AS t FROM per_src),
+    rebal AS (
+      SELECT SUM(CAST(FLOOR(p.n * FLOOR(10000.0 * tg.t / p.chars) / 10000.0)
+                 AS BIGINT)) AS n,
+             SUM(CAST(FLOOR(p.chars * FLOOR(10000.0 * tg.t / p.chars) / 10000.0)
+                 AS BIGINT)) AS chars
+      FROM per_src p CROSS JOIN target tg
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_id, 'raw' AS stage,
+             COUNT(*) AS n_docs, SUM(n_chars) AS chars FROM documents
+      UNION ALL
+      SELECT 2, 'exact_dedup', COUNT(*), SUM(n_chars) FROM surv1
+      UNION ALL
+      SELECT 3, 'near_dedup', COUNT(*), SUM(n_chars) FROM surv2
+      UNION ALL
+      SELECT 4, 'quality', COUNT(*), SUM(n_chars) FROM surv3
+      UNION ALL
+      SELECT 5, 'rebalanced', n, chars FROM rebal
+    ) ORDER BY stage_id
+    """
+
+
+@register("q300_curation_waterfall", oracle=_q300_oracle(), category="curation")
+def q300_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    keepers = docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    surv1 = docs.join(
+        keepers,
+        (F.md5(F.col("text").cast("binary")) == F.col("h"))
+        & (F.col("doc_id") == F.col("keeper")),
+    ).drop("h", "keeper").localCheckpoint(eager=True)
+    removed2 = (
+        dedup.jaccard_pairs(surv1, "doc_id", "text", n=3, threshold=0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    surv2 = surv1.join(removed2, "doc_id", "left_anti").localCheckpoint(eager=True)
+    surv3 = surv2.filter(F.col("n_chars").between(100, 500))
+    per_src = surv3.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    target = per_src.agg(F.min("chars").alias("t"))
+    rate = F.floor(10000.0 * F.col("t") / F.col("chars"))
+    rebal = (
+        per_src.crossJoin(F.broadcast(target))
+        .select(
+            F.floor(F.col("n") * rate / 10000.0).cast("long").alias("rn"),
+            F.floor(F.col("chars") * rate / 10000.0).cast("long").alias("rc"),
+        )
+        .agg(F.sum("rn").alias("n"), F.sum("rc").alias("chars"))
+    )
+
+    def stage(df, sid, name):
+        return df.agg(
+            F.lit(sid).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+
+    out = (
+        stage(docs, 1, "raw")
+        .unionByName(stage(surv1, 2, "exact_dedup"))
+        .unionByName(stage(surv2, 3, "near_dedup"))
+        .unionByName(stage(surv3, 4, "quality"))
+        .unionByName(
+            rebal.select(
+                F.lit(5).alias("stage_id"),
+                F.lit("rebalanced").alias("stage"),
+                F.col("n").alias("n_docs"),
+                F.col("chars"),
+            )
+        )
+    )
+    return out.orderBy("stage_id")
