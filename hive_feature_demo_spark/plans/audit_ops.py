@@ -3340,3 +3340,164 @@ def q300_curation_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("stage_id")
+
+
+# ---------------------------------------------------------------------------
+# q301 — supplier on-time league table, ranked by the WILSON lower bound
+# of the on-time proportion (ship within 30 days): ranking by raw share
+# promotes tiny-sample suppliers with lucky 2/2 records; the Wilson
+# score interval's lower bound is the standard small-sample-safe
+# ranking statistic. One co-partitioned join + per-supplier counts; the
+# closed-form bound is deterministic double arithmetic over exact
+# integer counts (z = 1.96 literal); ranking on the rounded bound.
+# ---------------------------------------------------------------------------
+
+_Z = "1.96"
+
+
+@register(
+    "q301_wilson_ranking",
+    oracle=f"""
+    WITH lat AS (
+      SELECT l.l_suppkey,
+             CASE WHEN DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) <= 30
+                  THEN 1 ELSE 0 END AS on_time
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    agg AS (
+      SELECT l_suppkey, COUNT(*) AS n, SUM(on_time) AS k FROM lat
+      GROUP BY l_suppkey
+    ),
+    scored AS (
+      SELECT l_suppkey, n, k,
+             (k / CAST(n AS DOUBLE)) AS p,
+             ((k / CAST(n AS DOUBLE)) + {_Z}*{_Z} / (2.0 * n)
+              - {_Z} * sqrt((k / CAST(n AS DOUBLE)) * (1.0 - k / CAST(n AS DOUBLE)) / n
+                            + {_Z}*{_Z} / (4.0 * n * n)))
+             / (1.0 + {_Z}*{_Z} / n) AS lb
+      FROM agg
+    )
+    SELECT l_suppkey, n, k,
+           CAST(FLOOR(10000.0 * p) AS BIGINT) AS on_time_bps,
+           {sql_round_det("lb", 6)} AS wilson_lb
+    FROM scored
+    ORDER BY {sql_round_det("lb", 6)} DESC, l_suppkey
+    LIMIT 20
+    """,
+    category="stats",
+)
+def q301_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    z = float(_Z)
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "l_suppkey",
+        F.when(F.datediff("sd", "od") <= 30, 1).otherwise(0).alias("on_time"),
+    )
+    agg = lat.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"), F.sum("on_time").alias("k")
+    )
+    p = F.col("k") / F.col("n").cast("double")
+    lb = (
+        p
+        + F.lit(z * z) / (2.0 * F.col("n"))
+        - F.lit(z)
+        * F.sqrt(p * (F.lit(1.0) - p) / F.col("n") + F.lit(z * z) / (4.0 * F.col("n") * F.col("n")))
+    ) / (F.lit(1.0) + F.lit(z * z) / F.col("n"))
+    return (
+        agg.select(
+            "l_suppkey",
+            "n",
+            "k",
+            F.floor(10000.0 * p).cast("long").alias("on_time_bps"),
+            round_det(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), "l_suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302 — Cohen's kappa between the labeled language column and q33's
+# n-gram lang-ID heuristic: chance-corrected agreement, the metric that
+# tells a pipeline whether its cheap classifier beats the marginal
+# guesser (accuracy alone can't — q239's confusion matrix shows WHERE
+# they disagree; kappa scores WHETHER the agreement is real). Reuses
+# q33's prediction (and its oracle SQL verbatim as a nested CTE);
+# marginal products accumulate in exact decimal.
+# ---------------------------------------------------------------------------
+
+
+def _q302_oracle() -> str:
+    from hive_feature_demo_spark.plans.llmops import _lang_sql
+
+    return f"""
+    WITH pred AS ({_lang_sql()}),
+    n AS (SELECT COUNT(*) AS total FROM pred),
+    po AS (
+      SELECT SUM(CASE WHEN lang_match THEN 1 ELSE 0 END) AS agree FROM pred
+    ),
+    marg AS (
+      SELECT COALESCE(r.lab, c.lab) AS lab,
+             COALESCE(r.r, 0) AS r, COALESCE(c.c, 0) AS c
+      FROM (SELECT lang AS lab, COUNT(*) AS r FROM pred GROUP BY lang) r
+      FULL OUTER JOIN (SELECT predicted_lang AS lab, COUNT(*) AS c
+                       FROM pred GROUP BY predicted_lang) c
+        ON r.lab = c.lab
+    ),
+    pe AS (
+      SELECT CAST(SUM(CAST((CAST(r AS DOUBLE) / n.total)
+                           * (c / CAST(n.total AS DOUBLE)) AS DECIMAL(25,10)))
+                  AS DOUBLE) AS pe
+      FROM marg CROSS JOIN n
+    )
+    SELECT n.total AS n_docs,
+           {sql_round_det("po.agree / CAST(n.total AS DOUBLE)", 6)} AS po,
+           {sql_round_det("pe.pe", 6)} AS pe,
+           {sql_round_det(
+               "(po.agree / CAST(n.total AS DOUBLE) - pe.pe) / (1.0 - pe.pe)", 6
+           )} AS kappa
+    FROM n CROSS JOIN po CROSS JOIN pe
+    """
+
+
+@register("q302_cohens_kappa", oracle=_q302_oracle(), category="textstats")
+def q302_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.plans.llmops import q33_lang_id
+
+    pred = q33_lang_id(spark, sf_dir).select("lang", "predicted_lang").localCheckpoint(
+        eager=True
+    )
+    total = pred.count()
+    agree = pred.filter(F.col("lang") == F.col("predicted_lang")).count()
+    r = pred.groupBy(F.col("lang").alias("lab")).agg(F.count("*").alias("r"))
+    c = pred.groupBy(F.col("predicted_lang").alias("lab")).agg(
+        F.count("*").alias("c")
+    )
+    marg = r.join(c, "lab", "full_outer").select(
+        F.coalesce("r", F.lit(0)).alias("r"), F.coalesce("c", F.lit(0)).alias("c")
+    )
+    pe_df = marg.agg(
+        F.sum(
+            (
+                (F.col("r").cast("double") / F.lit(float(total)))
+                * (F.col("c") / F.lit(float(total)))
+            ).cast(_DEC)
+        )
+        .cast("double")
+        .alias("pe")
+    )
+    po = agree / float(total)
+    return pe_df.select(
+        F.lit(total).cast("long").alias("n_docs"),
+        round_det(F.lit(po), 6).alias("po"),
+        round_det(F.col("pe"), 6).alias("pe"),
+        round_det((F.lit(po) - F.col("pe")) / (F.lit(1.0) - F.col("pe")), 6).alias(
+            "kappa"
+        ),
+    )

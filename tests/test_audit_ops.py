@@ -600,3 +600,25 @@ def test_curation_waterfall_monotone(spark):
         docs[i] >= docs[i + 1] for i in range(4)
     )
     assert all(chars[i] >= chars[i + 1] for i in range(4))
+
+
+def test_wilson_bound_below_share(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q301_wilson_ranking
+
+    rows = q301_wilson_ranking(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    lbs = [r["wilson_lb"] for r in rows]
+    assert lbs == sorted(lbs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r["wilson_lb"] <= r["on_time_bps"] / 10000.0 + 1e-6
+        assert r["k"] <= r["n"]
+
+
+def test_kappa_consistent_with_accuracy(spark):
+    from hive_feature_demo_spark.plans.audit_ops import q302_cohens_kappa
+
+    r = q302_cohens_kappa(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["po"] <= 1.0 and 0.0 <= r["pe"] <= 1.0
+    assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9
+    # kappa sign agrees with (po - pe)
+    assert (r["kappa"] >= 0) == (r["po"] >= r["pe"])
