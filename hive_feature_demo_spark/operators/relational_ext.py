@@ -197,11 +197,122 @@ def interval_overlap_join(
     )
 
 
+def _grid_cell_expr(col: str, lo, hi, cells: int):
+    """Monotone value-grid bucket for ``col`` over [lo, hi] — floor of the
+    linear cell index, clamped to [0, cells). (col - lo) stays in the
+    column's native type; the double division is monotone, so bucket order
+    is always consistent with value order."""
+    if lo is None or hi == lo:
+        return F.lit(0)
+    step = (hi - lo) / float(cells)
+    return (
+        F.least(
+            F.lit(cells - 1),
+            F.greatest(F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(step))),
+        )
+        .cast("int")
+    )
+
+
+def _assign_cells(
+    df: DataFrame,
+    order_cols: list[str],
+    cells: int,
+    max_cell_rows: int | None,
+) -> DataFrame:
+    """Bucket rows on a deterministic value grid over ``order_cols[0]``,
+    refining skewed cells one level so no cell's single-task sort exceeds
+    ``max_cell_rows`` — returns ``df`` plus a long ``_cell`` column whose
+    numeric order is consistent with the total ``order_cols`` order.
+
+    Skew fallback (the global_rank docstring's former caveat, now
+    handled): each refinement level re-grids every oversized cell — on
+    the FIRST column's within-cell residual range while it still has
+    value spread, else (pure tie skew: the cell holds a single value) on
+    the SECOND order column when numeric. Refining a mixed-value cell on
+    the second column would break monotonicity, so it is only used for
+    single-value cells. Every level multiplies ALL cell ids by ``cells``
+    and adds the sub-cell (0 for untouched cells), keeping id order
+    consistent with the total order. If a cell cannot be refined (single
+    value + no numeric tiebreak) or cells remain oversized when the
+    64-bit id space is exhausted, this raises with guidance rather than
+    silently degrading to a single-task sort.
+
+    Threshold default: ``max(8 * mean cell size, 1_000_000)`` — refinement
+    engages only on genuine skew at scale, never on balanced small inputs.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    first = order_cols[0]
+    second = order_cols[1] if len(order_cols) > 1 else None
+    second_numeric = second is not None and isinstance(
+        df.schema[second].dataType, T.NumericType
+    )
+    vmin, vmax = df.agg(F.min(first), F.max(first)).collect()[0]
+    cur = df.withColumn(
+        "_cell", _grid_cell_expr(first, vmin, vmax, cells).cast("long")
+    )
+    # each level multiplies ids by `cells`; stay clear of 2^63 overflow
+    max_levels = max(1, int(62 // math.log2(max(cells, 2))) - 1)
+    thr = max_cell_rows
+    aggs = [
+        F.count("*").alias("n"),
+        F.min(first).alias("lo1"),
+        F.max(first).alias("hi1"),
+    ]
+    if second_numeric:
+        aggs += [F.min(second).alias("lo2"), F.max(second).alias("hi2")]
+    for level in range(max_levels + 1):
+        stats = cur.groupBy("_cell").agg(*aggs).collect()  # bounded (see cap)
+        if thr is None:
+            total = sum(r["n"] for r in stats)
+            thr = max(8 * (total // cells) + 1, 1_000_000)
+        over = [r for r in stats if r["n"] > thr]
+        if not over:
+            return cur
+        if level == max_levels:
+            raise ValueError(
+                f"global rank/cumsum grid: {len(over)} cells remain over "
+                f"{thr} rows after {level} refinement levels — the key "
+                "space is too concentrated; rank on a hash of the key "
+                "instead."
+            )
+        if len(over) > 64:
+            raise ValueError(
+                f"global rank/cumsum grid: {len(over)} of {len(stats)} "
+                f"cells exceed {thr} rows — the first order column "
+                f"'{first}' is too concentrated for a {cells}-cell grid. "
+                "Use more cells, or order by a well-spread numeric key "
+                "(e.g. a hash) first."
+            )
+        sub = F.lit(0)
+        for r in over:
+            if r["lo1"] is not None and r["lo1"] < r["hi1"]:
+                refine = _grid_cell_expr(first, r["lo1"], r["hi1"], cells)
+            elif second_numeric and r["lo2"] is not None and r["lo2"] < r["hi2"]:
+                # pure tie skew: every row shares one first-column value,
+                # so sub-ordering is governed by the second column
+                refine = _grid_cell_expr(second, r["lo2"], r["hi2"], cells)
+            else:
+                raise ValueError(
+                    f"global rank/cumsum grid: a cell holds {r['n']} rows "
+                    f"of a single '{first}' value with no numeric "
+                    "tiebreak column to refine on — add a numeric unique "
+                    "key (e.g. an id or hash) as the second order column."
+                )
+            sub = F.when(F.col("_cell") == r["_cell"], refine).otherwise(sub)
+        cur = cur.withColumn("_cell", F.col("_cell") * cells + sub)
+    raise AssertionError("unreachable")
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "global_rank",
     cells: int = 1024,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank over a total order WITHOUT a global window.
 
@@ -219,25 +330,19 @@ def global_rank(
     (``repartitionByRange`` samples boundaries, so two evaluations of the
     same lineage can split differently — spark_partition_id-based offsets
     are unsound without materialization). ``order_cols`` must be a unique
-    key and the first column numeric; pathological skew (most rows in one
-    grid cell) degrades toward the single-partition sort and would need a
-    finer/recursive grid at extreme scale.
+    key and the first column numeric. Pathological skew (most rows in one
+    grid cell) is handled by :func:`_assign_cells`'s one-level grid
+    refinement — oversized cells re-grid on the first column's residual
+    range, or on the second order column for pure tie skew; irreparable
+    concentration raises with guidance instead of silently degrading to a
+    single-task sort. ``max_cell_rows`` overrides the refinement
+    threshold (default ``max(8 * mean cell, 1e6)``).
     """
     if not (0 < cells <= 65536):
         # the per-cell counts round-trip through the driver; an unbounded
         # grid would turn this bounded-state pattern into a driver OOM
         raise ValueError(f"global_rank cells must be in (0, 65536], got {cells}")
-    first = order_cols[0]
-    vmin, vmax = df.agg(F.min(first), F.max(first)).collect()[0]
-    if vmin is None or vmax == vmin:
-        cell = F.lit(0)
-    else:
-        step = (vmax - vmin) / float(cells)
-        cell = F.least(
-            F.lit(cells - 1),
-            F.greatest(F.lit(0), F.floor((F.col(first) - F.lit(vmin)) / F.lit(step))),
-        ).cast("int")
-    local = df.withColumn("_cell", cell).withColumn(
+    local = _assign_cells(df, order_cols, cells, max_cell_rows).withColumn(
         "_lrank",
         F.row_number().over(
             Window.partitionBy("_cell").orderBy(*[F.asc(c) for c in order_cols])
@@ -251,7 +356,7 @@ def global_rank(
         offsets[c] = acc
         acc += counts[c]
     off_df = df.sparkSession.createDataFrame(
-        [(int(c), int(o)) for c, o in offsets.items()], "_cell int, _off long"
+        [(int(c), int(o)) for c, o in offsets.items()], "_cell long, _off long"
     )
     return (
         local.join(F.broadcast(off_df), "_cell")
@@ -266,6 +371,7 @@ def global_cumsum(
     value_col: str,
     out_col: str = "cum_before",
     cells: int = 1024,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Exclusive global prefix sum of ``value_col`` over a total order
     WITHOUT a single-partition window — ``out_col`` = sum of the value
@@ -281,18 +387,8 @@ def global_cumsum(
     """
     if not (0 < cells <= 65536):
         raise ValueError(f"global_cumsum cells must be in (0, 65536], got {cells}")
-    first = order_cols[0]
-    vmin, vmax = df.agg(F.min(first), F.max(first)).collect()[0]
-    if vmin is None or vmax == vmin:
-        cell = F.lit(0)
-    else:
-        step = (vmax - vmin) / float(cells)
-        cell = F.least(
-            F.lit(cells - 1),
-            F.greatest(F.lit(0), F.floor((F.col(first) - F.lit(vmin)) / F.lit(step))),
-        ).cast("int")
     w = Window.partitionBy("_cell").orderBy(*[F.asc(c) for c in order_cols])
-    local = df.withColumn("_cell", cell).withColumn(
+    local = _assign_cells(df, order_cols, cells, max_cell_rows).withColumn(
         "_lcum",
         F.sum(F.col(value_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
     )
@@ -306,7 +402,7 @@ def global_cumsum(
         offsets[c] = acc
         acc += int(totals[c])
     off_df = df.sparkSession.createDataFrame(
-        [(int(c), int(o)) for c, o in offsets.items()], "_cell int, _off long"
+        [(int(c), int(o)) for c, o in offsets.items()], "_cell long, _off long"
     )
     return (
         local.join(F.broadcast(off_df), "_cell")

@@ -29,6 +29,7 @@ from hive_feature_demo_spark.functions.numeric import (
     sql_exact_sum_fixed,
     sql_round_det,
 )
+from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 
 _DEC = "decimal(25,10)"
@@ -290,7 +291,7 @@ def q263_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q264 — boilerplate detection: word 8-grams that repeat across many
 # documents. Within-document repetition is q156's (Gopher) axis; this is
-# the cross-corpus axis — template headers/footers shared by >= 5 docs,
+# the cross-corpus axis — template headers/footers repeated across docs,
 # counted by DISTINCT containing doc so one spammy doc can't promote its
 # own n-gram; any 8-gram shared by >= 2 distinct docs is flagged (long
 # verbatim spans are near-certain boilerplate). The shingle explode is
@@ -1482,11 +1483,13 @@ def q278_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
     n AS (SELECT SUM(o) AS total FROM obs),
     cells AS (
-      SELECT obs.o,
+      -- FULL r x c grid (marginal cross join): a (lang, source) cell with
+      -- zero observed count still contributes (0-e)^2/e = e, and dof
+      -- counts the full grid — observed-cells-only understates chi2.
+      SELECT COALESCE(obs.o, 0) AS o,
              (CAST(rt.r AS DOUBLE) * ct.c) / n.total AS e
-      FROM obs JOIN rt ON obs.lang = rt.lang
-               JOIN ct ON obs.source = ct.source
-               CROSS JOIN n
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
     )
     SELECT {sql_round_det(sql_exact_sum("((o - e) * (o - e)) / e"), 4)} AS chi2,
            (SELECT (COUNT(*) - 1) FROM rt) * (SELECT (COUNT(*) - 1) FROM ct) AS dof,
@@ -1501,12 +1504,15 @@ def q279_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
     ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
     n = obs.agg(F.sum("o").alias("total"))
+    # Full r x c grid from the marginals (both broadcast-tiny): zero-
+    # observed cells contribute (0-e)^2/e = e; without them chi2 is
+    # understated while dof still assumes the full grid.
     cells = (
-        obs.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
+        rt.crossJoin(ct)
+        .join(F.broadcast(obs), ["lang", "source"], "left")
         .crossJoin(F.broadcast(n))
         .select(
-            "o",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
             ((F.col("r").cast("double") * F.col("c")) / F.col("total")).alias("e"),
         )
     )
@@ -1736,7 +1742,7 @@ def q281_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.join(F.broadcast(ma), "i")
         .join(F.broadcast(mb), "j")
         .select("i", "j", (F.col("exy") - F.col("mu_i") * F.col("mu_j")).alias("c"))
-        .localCheckpoint(eager=True)  # 4096 rows; reused by 3 iterations + trace
+        .localCheckpoint(eager=True)  # 4096 rows; reused by _PCA_ROUNDS iterations + trace
     )
     v = spark.createDataFrame([(i, 0.125) for i in range(1, 65)], "i int, v double")
     norm_df = None
@@ -1881,7 +1887,7 @@ def q283_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="q283_snap_")
+    base = scratch_dir(prefix="q283_snap_")
     d1 = os.path.join(base, "commit-1")
     d2 = os.path.join(base, "commit-2")
     o.filter(F.col("o_orderdate") < "1998-01-01").write.parquet(d1)
@@ -1971,8 +1977,8 @@ def q284_incremental_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     emb = table(spark, sf_dir, "embeddings")
-    replay_dir = tempfile.mkdtemp(prefix="q284_replay_")
-    state_dir = os.path.join(tempfile.mkdtemp(prefix="q284_state_"), "partials")
+    replay_dir = scratch_dir(prefix="q284_replay_")
+    state_dir = os.path.join(scratch_dir(prefix="q284_state_"), "partials")
     for r in range(4):  # one file per residue class -> four micro-batches
         emb.filter(F.col("vec_id") % 4 == r).coalesce(1).write.mode(
             "append"
@@ -2788,6 +2794,14 @@ def q294_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = inst.groupBy("half", "term").agg(F.count("*").alias("n"))
     tot = {r["half"]: r["t"] for r in tf.groupBy("half").agg(F.sum("n").alias("t")).collect()}
+    if not tot.get(1) or not tot.get(2):
+        # a half with zero tokens has no term distribution to compare —
+        # return the empty result (schema-stable) instead of a KeyError
+        return spark.createDataFrame(
+            [],
+            "term string, n1 bigint, n2 bigint, bps1 bigint, bps2 bigint, "
+            "delta_bps bigint",
+        )
     a = tf.filter(F.col("half") == 1).select("term", F.col("n").alias("n1"))
     b = tf.filter(F.col("half") == 2).select("term", F.col("n").alias("n2"))
     shares = (
@@ -2835,20 +2849,20 @@ def q294_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
     ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
-    n AS (SELECT SUM(o) AS total FROM obs)
-    SELECT obs.lang, obs.source, obs.o,
-           {sql_round_det("(CAST(rt.r AS DOUBLE) * ct.c) / n.total", 4)} AS expected,
-           {sql_round_det(
-               "(obs.o - (CAST(rt.r AS DOUBLE) * ct.c) / n.total)"
-               " / sqrt((CAST(rt.r AS DOUBLE) * ct.c) / n.total)",
-               4,
-           )} AS std_residual,
-           (ABS((obs.o - (CAST(rt.r AS DOUBLE) * ct.c) / n.total)
-                / sqrt((CAST(rt.r AS DOUBLE) * ct.c) / n.total)) > 2.0) AS anomalous
-    FROM obs JOIN rt ON obs.lang = rt.lang
-             JOIN ct ON obs.source = ct.source
-             CROSS JOIN n
-    ORDER BY obs.lang, obs.source
+    n AS (SELECT SUM(o) AS total FROM obs),
+    grid AS (
+      -- full r x c grid: zero-observed cells get residual -sqrt(e)
+      SELECT rt.lang, ct.source, COALESCE(obs.o, 0) AS o,
+             (CAST(rt.r AS DOUBLE) * ct.c) / n.total AS e
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+    )
+    SELECT lang, source, o,
+           {sql_round_det("e", 4)} AS expected,
+           {sql_round_det("(o - e) / sqrt(e)", 4)} AS std_residual,
+           (ABS((o - e) / sqrt(e)) > 2.0) AS anomalous
+    FROM grid
+    ORDER BY lang, source
     """,
     category="stats",
 )
@@ -2861,9 +2875,10 @@ def q295_chisq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (F.col("r").cast("double") * F.col("c")) / F.col("total")
     resid = (F.col("o") - e) / F.sqrt(e)
     return (
-        obs.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
+        rt.crossJoin(ct)
+        .join(F.broadcast(obs), ["lang", "source"], "left")
         .crossJoin(F.broadcast(n))
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
         .select(
             "lang",
             "source",

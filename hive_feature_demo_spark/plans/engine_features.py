@@ -23,6 +23,7 @@ from hive_feature_demo_spark.functions.numeric import (
     exact_sum_fixed,
     sql_exact_sum_fixed,
 )
+from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -70,7 +71,7 @@ def _snapshot_read(spark: SparkSession, base: str, version: int) -> DataFrame:
 )
 def q200_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="q200_snap_")
+    base = scratch_dir(prefix="q200_snap_")
     d1 = os.path.join(base, "commit-1")
     d2 = os.path.join(base, "commit-2")
     o.filter(F.col("o_orderdate") < _CUT).write.parquet(d1)

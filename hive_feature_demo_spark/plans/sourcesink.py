@@ -27,6 +27,7 @@ from hive_feature_demo_spark.functions.numeric import (
     exact_sum_fixed,
     sql_exact_sum_fixed,
 )
+from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 from hive_feature_demo_spark.sources import writers
 
@@ -59,7 +60,7 @@ from hive_feature_demo_spark.sources import writers
 def q119_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     out = os.path.join(
-        tempfile.mkdtemp(prefix="hfd_q119_"), "orders_by_priority"
+        scratch_dir(prefix="hfd_q119_"), "orders_by_priority"
     )
     writers.write_partitioned(orders, out, ["o_orderpriority"])
     back = spark.read.parquet(out)
@@ -103,7 +104,7 @@ def q119_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 def q120_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    base = tempfile.mkdtemp(prefix="hfd_q120_")
+    base = scratch_dir(prefix="hfd_q120_")
     # unique table names per call: the driver may invoke on a session whose
     # catalog already has earlier runs' tables
     suffix = os.path.basename(base).split("_")[-1]
@@ -152,7 +153,7 @@ def q120_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q128_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q128_"), "orders_z")
+    out = os.path.join(scratch_dir(prefix="hfd_q128_"), "orders_z")
     writers.write_zordered(orders, out, "o_custkey", "o_orderkey", n_files=8)
     back = spark.read.parquet(out)
     return (
@@ -206,7 +207,7 @@ _Q129_NEW_SQL = "\n      UNION ALL\n".join(
 )
 def q129_scd1_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
-    suffix = os.path.basename(tempfile.mkdtemp(prefix="hfd_q129_")).split("_")[-1]
+    suffix = os.path.basename(scratch_dir(prefix="hfd_q129_")).split("_")[-1]
     t_name = f"q129_customer_{suffix}"
     customer.write.mode("overwrite").format("parquet").saveAsTable(t_name)
 
@@ -256,7 +257,7 @@ def q129_scd1_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q135_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q135_"), "lineitem_compact")
+    out = os.path.join(scratch_dir(prefix="hfd_q135_"), "lineitem_compact")
     writers.write_compacted(lineitem, out, target_file_mb=8)
     back = spark.read.parquet(out)
     return (
@@ -299,7 +300,7 @@ def q145_dpp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = lineitem.withColumn(
         "ship_month", F.date_format("l_shipdate", "yyyy-MM")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q145_"), "lineitem_by_month")
+    out = os.path.join(scratch_dir(prefix="hfd_q145_"), "lineitem_by_month")
     writers.write_partitioned(fact, out, partition_cols=["ship_month"])
     back = spark.read.parquet(out)
     dim = (
@@ -351,7 +352,7 @@ def q145_dpp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q163_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q163_"), "lineitem_orc")
+    out = os.path.join(scratch_dir(prefix="hfd_q163_"), "lineitem_orc")
     (
         li.write.mode("overwrite")
         .option("compression", "zlib")
@@ -401,7 +402,7 @@ def q164_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_feature_demo_spark.sources.readers import read_csv
 
     orders = table(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q164_"), "orders_csv")
+    out = os.path.join(scratch_dir(prefix="hfd_q164_"), "orders_csv")
     orders.write.mode("overwrite").option("header", True).csv(out)
     schema = T.StructType(
         [
@@ -452,7 +453,7 @@ def q165_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_feature_demo_spark.sources.readers import read_json
 
     events = table(spark, sf_dir, "events")
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q165_"), "events_jsonl")
+    out = os.path.join(scratch_dir(prefix="hfd_q165_"), "events_jsonl")
     (
         events.write.mode("overwrite")
         .option("timestampFormat", _JSON_TS_FMT)
@@ -508,7 +509,7 @@ def q170_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     orders = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q170_"), "orders_evolving")
+    out = os.path.join(scratch_dir(prefix="hfd_q170_"), "orders_evolving")
     gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
     gen2 = orders.filter(F.col("o_orderkey") % 2 != 0)
     gen1.write.mode("overwrite").parquet(out)
@@ -554,7 +555,7 @@ def q170_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def q207_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.mkdtemp(prefix="hfd_q207_"), "customer_xml")
+    out = os.path.join(scratch_dir(prefix="hfd_q207_"), "customer_xml")
     (
         customer.write.mode("overwrite")
         .format("xml")

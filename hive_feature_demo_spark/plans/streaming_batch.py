@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from hive_feature_demo_spark.catalog import table
 from hive_feature_demo_spark.functions.numeric import exact_sum, sql_exact_sum
 from hive_feature_demo_spark.functions.temporal import epoch_micros
+from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -259,9 +260,15 @@ def _streamed_events(spark: SparkSession, sf_dir: str):
     category="streaming",
 )
 def q48_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermarked APPEND mode: each window emits exactly once when the
+    # watermark closes it and its state is evicted — bounded state on an
+    # unbounded stream. (Complete mode re-emits ALL windows every trigger
+    # and never evicts: O(total history) state, a 100 TB scale-killer.)
+    # The flush sentinel closes the trailing windows on the finite replay;
+    # its own 'flush' window never closes, so append never emits it.
     from hive_feature_demo_spark.streaming import ops as sops
 
-    events = _streamed_events(spark, sf_dir)
+    events = sops.with_flush_sentinel(spark, sf_dir, _streamed_events(spark, sf_dir))
     agg = (
         events.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -277,8 +284,12 @@ def q48_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q48_out_{next(_STREAM_RUN_SEQ)}"
-    sops.run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name).orderBy("window_start", "event_type")
+    sops.run_to_memory(agg, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "flush")
+        .orderBy("window_start", "event_type")
+    )
 
 
 @register(
@@ -442,9 +453,13 @@ def q70_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
 )
 def q96_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Watermarked APPEND mode (was complete until r5): sliding windows
+    # close and evict once the watermark passes each window end; the flush
+    # sentinel closes the trailing two overlapping windows on the finite
+    # replay. See q48 for the state-growth rationale.
     from hive_feature_demo_spark.streaming import ops as sops
 
-    events = _streamed_events(spark, sf_dir)
+    events = sops.with_flush_sentinel(spark, sf_dir, _streamed_events(spark, sf_dir))
     agg = (
         events.withWatermark("ts", "30 minutes")
         .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
@@ -456,8 +471,12 @@ def q96_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"q96_out_{next(_STREAM_RUN_SEQ)}"
-    sops.run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name).orderBy("window_start", "event_type")
+    sops.run_to_memory(agg, name, output_mode="append")
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "flush")
+        .orderBy("window_start", "event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -481,22 +500,46 @@ def q96_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
 )
 def q108_streaming_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A global (non-windowed) aggregate on a stream can ONLY run in
+    # complete/update mode — Spark has no event-time key to close, so
+    # complete mode would re-emit the whole result and keep every group's
+    # state forever. The scale-correct shape (r5): the STREAM emits
+    # hour-windowed partials per segment in watermarked append mode
+    # (bounded state, each window evicted once closed) and the all-time
+    # segment totals are a cheap downstream batch rollup over the emitted
+    # partials — the standard incremental-MV design for running totals.
+    # The sentinel (user_id=-1) advances the watermark through the
+    # EventTimeWatermark node, then drops at the inner dimension join —
+    # joins are never pushed below the watermark operator, so it still
+    # registers (unlike a pre-watermark filter, see with_flush_sentinel).
     from hive_feature_demo_spark.catalog import table as _table
     from hive_feature_demo_spark.streaming import ops as sops
 
-    events = _streamed_events(spark, sf_dir)
+    events = sops.with_flush_sentinel(spark, sf_dir, _streamed_events(spark, sf_dir))
     dim = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     enriched = sops.enrich_with_dimension(
-        events, dim, F.col("user_id") == F.col("c_custkey")
+        events.withWatermark("ts", "30 minutes"),
+        dim,
+        F.col("user_id") == F.col("c_custkey"),
     )
-    agg = enriched.groupBy("c_mktsegment").agg(
-        F.count("*").alias("n_events"),
-        (F.sum(cents).cast("double") / F.lit(100.0)).alias("total_value"),
+    partials = enriched.groupBy(
+        F.window("ts", "1 hour").alias("w"), "c_mktsegment"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("cents"),
     )
     name = f"q108_out_{next(_STREAM_RUN_SEQ)}"
-    sops.run_to_memory(agg, name, output_mode="complete")
-    return spark.table(name).orderBy("c_mktsegment")
+    sops.run_to_memory(partials, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -689,7 +732,7 @@ def q131_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFram
     # one driver-side scalar (parquet footer stats make this a metadata
     # read): where to place the watermark-advancing flush row
     max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    flush_dir = tempfile.mkdtemp(prefix="q131_flush_")
+    flush_dir = scratch_dir(prefix="q131_flush_")
     spark.createDataFrame(
         [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
         schema="event_id bigint, ts timestamp, user_id bigint, "
@@ -899,7 +942,7 @@ def q152_foreachbatch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
     from hive_feature_demo_spark.streaming import ops as sops
 
-    base = tempfile.mkdtemp(prefix="hfd_q152_")
+    base = scratch_dir(prefix="hfd_q152_")
     out_dir = os.path.join(base, "landed")
     ledger = os.path.join(base, "ledger")
     events = _streamed_events(spark, sf_dir).select("event_id", "event_type", "value")
@@ -1093,7 +1136,7 @@ def q245_streaming_dynamic_gap_sessions(
 
     events = _streamed_events(spark, sf_dir)
     max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    flush_dir = tempfile.mkdtemp(prefix="q245_flush_")
+    flush_dir = scratch_dir(prefix="q245_flush_")
     spark.createDataFrame(
         [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
         schema="event_id bigint, ts timestamp, user_id bigint, "

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
 from hive_feature_demo_spark.functions.numeric import sql_exact_sum
+from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 from hive_feature_demo_spark.plans.streaming_batch import (
     _STREAM_RUN_SEQ,
@@ -140,8 +141,8 @@ def q191_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q192_streaming_update_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    replay_dir = tempfile.mkdtemp(prefix="q192_replay_")
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="q192_out_"), "updates")
+    replay_dir = scratch_dir(prefix="q192_replay_")
+    out_dir = os.path.join(scratch_dir(prefix="q192_out_"), "updates")
     quartiled = e.withColumn(
         "quartile", F.ntile(4).over(Window.orderBy("ts", "event_id"))
     )
@@ -197,28 +198,10 @@ def q192_streaming_update_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_flush(spark: SparkSession, sf_dir: str, events_stream: DataFrame):
-    """Union a far-future sentinel row so append-mode windows all close.
+    """Shared flush-sentinel replay protocol — see streaming.ops.with_flush_sentinel."""
+    from hive_feature_demo_spark.streaming.ops import with_flush_sentinel
 
-    The finite-replay analogue of a stream that keeps flowing (same trick
-    as q131): the sentinel advances the watermark past every real window's
-    end; its own windows never close, so append mode never emits it. Do
-    NOT filter the sentinel before the watermark operator — Catalyst
-    pushes deterministic predicates below EventTimeWatermark and the
-    flush row would vanish before registering (observed in q131).
-    """
-    import datetime as dt
-
-    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    flush_dir = tempfile.mkdtemp(prefix="flush_")
-    spark.createDataFrame(
-        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
-        schema="event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
-    flush_stream = spark.readStream.schema(
-        spark.read.parquet(flush_dir).schema
-    ).parquet(flush_dir)
-    return events_stream.unionByName(flush_stream)
+    return with_flush_sentinel(spark, sf_dir, events_stream)
 
 
 # ---------------------------------------------------------------------------
@@ -426,8 +409,10 @@ def q194_streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 # pipeline runs against a dimension. Completes stream-static coverage
 # beyond q44/q108's inner joins: left_semi keeps member events,
 # left_anti keeps the rest; both sides re-broadcast the (filtered)
-# dimension per micro-batch, no stream-side state at all (stateless
-# joins — watermark-free by design).
+# dimension per micro-batch. The joins themselves are stateless; the
+# per-type totals are produced as watermarked append-mode hour-windowed
+# partials plus a batch rollup (r5 — was complete mode, which never
+# evicts aggregation state).
 # ---------------------------------------------------------------------------
 
 
@@ -456,27 +441,49 @@ def q212_stream_static_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    events = _streamed_events(spark, sf_dir)
-    member = (
-        events.join(
-            F.broadcast(optin), events.user_id == optin.c_custkey, "left_semi"
-        )
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_member_events"))
+    # r5: the per-type totals are global (non-windowed) aggregates, which
+    # only complete/update mode can run — and complete mode keeps every
+    # group's state forever AND re-emits the full result each trigger.
+    # Scale-correct shape: the stream emits hour-windowed partials per
+    # type in watermarked APPEND mode (state evicted as windows close);
+    # the all-time totals are a downstream batch rollup of the partials.
+    # The semi join drops the sentinel (user -1 not opted in) AFTER it
+    # registers in the watermark; the anti join keeps it, but its 'flush'
+    # window never closes so append never emits it.
+    def _windowed(joined: DataFrame, out_col: str) -> DataFrame:
+        return joined.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count("*").alias(out_col))
+
+    events = _with_flush(spark, sf_dir, _streamed_events(spark, sf_dir))
+    member = _windowed(
+        events.withWatermark("ts", "30 minutes").join(
+            F.broadcast(optin), F.col("user_id") == optin.c_custkey, "left_semi"
+        ),
+        "n",
     )
-    other = (
-        _streamed_events(spark, sf_dir)
-        .join(F.broadcast(optin), F.col("user_id") == optin.c_custkey, "left_anti")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_other_events"))
+    other = _windowed(
+        _with_flush(spark, sf_dir, _streamed_events(spark, sf_dir))
+        .withWatermark("ts", "30 minutes")
+        .join(F.broadcast(optin), F.col("user_id") == optin.c_custkey, "left_anti"),
+        "n",
     )
     m_name = f"q212m_{next(_STREAM_RUN_SEQ)}"
     o_name = f"q212o_{next(_STREAM_RUN_SEQ)}"
-    sops.run_to_memory(member, m_name, output_mode="complete")
-    sops.run_to_memory(other, o_name, output_mode="complete")
+    sops.run_to_memory(member, m_name, output_mode="append")
+    sops.run_to_memory(other, o_name, output_mode="append")
+
+    def _rollup(name: str, out_col: str) -> DataFrame:
+        return (
+            spark.table(name)
+            .filter(F.col("event_type") != "flush")
+            .groupBy("event_type")
+            .agg(F.sum("n").alias(out_col))
+        )
+
     return (
-        spark.table(m_name)
-        .join(spark.table(o_name), "event_type", "full_outer")
+        _rollup(m_name, "n_member_events")
+        .join(_rollup(o_name, "n_other_events"), "event_type", "full_outer")
         .select(
             "event_type",
             F.coalesce("n_member_events", F.lit(0)).alias("n_member_events"),

@@ -120,6 +120,42 @@ def enrich_with_dimension(events: DataFrame, dim: DataFrame, on, how: str = "inn
     return events.join(F.broadcast(dim), on, how)
 
 
+def with_flush_sentinel(
+    spark: SparkSession, sf_dir: str, events_stream: DataFrame
+) -> DataFrame:
+    """Union a far-future sentinel row so append-mode windows all close.
+
+    Append-mode windowed aggregation only emits a window once the watermark
+    passes its end — on a finite replay the trailing windows would stay
+    buffered forever. This sentinel (user_id=-1, event_type='flush',
+    ts = max(ts) + 1 day) is the finite-replay analogue of a stream that
+    keeps flowing: it advances the watermark past every real window's end;
+    its OWN windows can never close (watermark stalls at flush - delay),
+    so append mode never emits it. Do NOT filter the sentinel before the
+    watermark operator — Catalyst pushes deterministic predicates below
+    EventTimeWatermark and the flush row would vanish before registering
+    in the watermark stats (observed: the final real window went missing).
+    Filter ``event_type != 'flush'`` / ``user_id >= 0`` on the BATCH side
+    after the run instead, as belt-and-braces.
+    """
+    import datetime as dt
+
+    from ..catalog import table
+    from ..scratch import scratch_dir
+
+    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    flush_dir = scratch_dir(prefix="flush_")
+    spark.createDataFrame(
+        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
+        schema="event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
+    flush_stream = spark.readStream.schema(
+        spark.read.parquet(flush_dir).schema
+    ).parquet(flush_dir)
+    return events_stream.unionByName(flush_stream)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -163,10 +199,53 @@ def run_to_memory(
                 q.awaitTermination()
             else:
                 q.processAllAvailable()
+            _record_progress(name, q)
         finally:
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+#: Per-run StreamingQueryProgress history, keyed by memory-sink name —
+#: populated by every run_to_memory call so tests can assert state-store
+#: invariants (e.g. numRowsTotal stays bounded across the replay) against
+#: the REAL registered streaming queries, not a parallel harness. Each
+#: value is a list of plain progress dicts (one per micro-batch, up to
+#: spark.sql.streaming.numRecentProgressUpdates).
+LAST_PROGRESS: dict[str, list[dict]] = {}
+
+
+def _record_progress(name: str, q) -> None:
+    import json
+
+    out: list[dict] = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:  # StreamingQueryProgress object (PySpark >= 3.4)
+            out.append(json.loads(p.json))
+    LAST_PROGRESS[name] = out
+
+
+def state_rows_history(name_prefix: str) -> list[list[int]]:
+    """Per-micro-batch state-store row totals for runs whose sink name
+    starts with ``name_prefix`` (registered queries suffix a run sequence).
+
+    Returns one list per matching run: ``sum(numRowsTotal over state
+    operators)`` for each micro-batch that reported state. Empty inner
+    lists mean the run was stateless.
+    """
+    hist = []
+    for name, progresses in LAST_PROGRESS.items():
+        if not name.startswith(name_prefix):
+            continue
+        rows = []
+        for p in progresses:
+            ops_ = p.get("stateOperators") or []
+            if ops_:
+                rows.append(sum(int(o.get("numRowsTotal", 0)) for o in ops_))
+        hist.append(rows)
+    return hist
 
 
 def click_purchase_join(

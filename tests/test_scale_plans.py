@@ -449,3 +449,100 @@ def test_join_strategy_hints_equivalent(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert results["broadcast"] == results["merge"] == results["shuffle_hash"]
+
+
+def test_global_rank_skew_refinement_tie_skew(spark):
+    """Pure tie skew (one value dominates the first order column): the
+    oversized cell re-grids on the numeric SECOND order column and ranks
+    stay exact — the r4-verdict skew caveat, now handled not documented."""
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    # 90 rows share v=1.0 (one cell), 10 rows spread elsewhere
+    rows = [(i, 1.0) for i in range(90)] + [(90 + i, float(i + 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got = {
+        r["id"]: r["r"]
+        for r in global_rank(
+            df, ["v", "id"], rank_col="r", cells=8, max_cell_rows=20
+        ).collect()
+    }
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_skew_refinement_range_skew(spark):
+    """Value-range skew (99% of mass in a sliver of the range): the
+    oversized cell re-grids on the first column's residual range."""
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    rows = [(i, float(i) / 1000.0) for i in range(99)] + [(99, 1e6)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(5)
+    got = {
+        r["id"]: r["r"]
+        for r in global_rank(
+            df, ["v", "id"], rank_col="r", cells=8, max_cell_rows=25
+        ).collect()
+    }
+    want = {
+        r["id"]: r["r"]
+        for r in df.withColumn(
+            "r", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_irreparable_skew_raises(spark):
+    """A single-value cell with a NON-numeric tiebreak cannot be refined —
+    must raise with guidance, never silently single-task-sort."""
+    import pytest
+
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    rows = [(f"k{i:03d}", 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "id string, v double")
+    with pytest.raises(ValueError, match="tiebreak"):
+        global_rank(df, ["v", "id"], rank_col="r", cells=4, max_cell_rows=10)
+
+
+def test_global_cumsum_skew_refinement(spark):
+    """global_cumsum rides the same refined grid: exclusive prefix sums
+    stay exact under tie skew."""
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.relational_ext import global_cumsum
+
+    rows = [(i, 1.0, i % 7 + 1) for i in range(80)] + [
+        (80 + i, float(i + 3), 1) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, w long").repartition(6)
+    got = {
+        r["id"]: r["c"]
+        for r in global_cumsum(
+            df, ["v", "id"], "w", out_col="c", cells=8, max_cell_rows=16
+        ).collect()
+    }
+    want = {
+        r["id"]: r["c"]
+        for r in df.withColumn(
+            "c",
+            F.coalesce(
+                F.sum("w").over(
+                    Window.orderBy("v", "id").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want

@@ -429,3 +429,75 @@ def test_stateful_checkpoint_recovery_restores_agg_state(spark, tmp_path):
         f"state not restored: final count {latest['n']} (history: "
         f"{sorted((r['batch_id'], r['n']) for r in hist)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# State-store boundedness: "watermarks evict state" as a tested invariant
+# (VERDICT r4 items 1+4), measured from StreamingQueryProgress
+# stateOperators metrics that run_to_memory now records per run.
+# ---------------------------------------------------------------------------
+
+
+def test_append_mode_state_evicts_across_replay(spark, tmp_path):
+    """Across a 12-hour, one-batch-per-hour replay, the windowed-agg state
+    store must PLATEAU (watermark evicts closed windows), not grow with
+    total history — peak numRowsTotal stays near the watermark horizon
+    while far more windows are emitted overall."""
+    batches = [
+        [
+            (100 * h + i, _ns(60 * h + 7 * i), 1, "view", 1.0, "{}")
+            for i in range(3)
+        ]
+        for h in range(12)
+    ]
+    # flush batch closes the trailing windows (append-mode finalization)
+    batches.append([(9999, _ns(60 * 24 * 30), -1, "flush", 0.0, "{}")])
+    path = _stream_dir(spark, tmp_path, batches)
+    stream = ops.events_stream(spark, path, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    ops.run_to_memory(agg, "t_state_bounded", output_mode="append")
+    emitted = spark.table("t_state_bounded").filter(
+        F.col("event_type") != "flush"
+    ).count()
+    assert emitted == 12  # every hourly window closed and emitted once
+
+    (rows,) = ops.state_rows_history("t_state_bounded")
+    assert rows, "no stateOperators progress recorded"
+    # Peak live state: the open window + at most one closed-but-not-yet-
+    # past-watermark window + the sentinel's window. If state grew with
+    # history (complete-mode behavior) the peak would reach 12.
+    assert max(rows) <= 4, f"state grew with history: {rows}"
+    # and the final no-data micro-batch leaves only the sentinel's window
+    assert rows[-1] <= 1, f"state not evicted at end of replay: {rows}"
+
+
+def test_registered_streaming_queries_state_bounded(spark, sf_dir):
+    """The REAL registered append-mode runs (tumbling q48, session-window
+    q131, custom-stateful q136) end the replay with (near-)empty state:
+    every emitted row's state was evicted by the watermark, not retained.
+    Guards the r5 complete->append conversions against regression."""
+    from hive_feature_demo_spark.plans.streaming_batch import (
+        q48_streaming_tumbling,
+        q131_streaming_session_windows,
+        q136_stateful_sessions_timeout,
+    )
+
+    for fn, prefix, min_rows in [
+        (q48_streaming_tumbling, "q48_out", 10),
+        (q131_streaming_session_windows, "q131_out", 10),
+        (q136_stateful_sessions_timeout, "q136_out", 10),
+    ]:
+        n = fn(spark, sf_dir).count()
+        assert n >= min_rows, f"{prefix}: unexpectedly small result ({n})"
+        hist = [h for h in ops.state_rows_history(prefix) if h]
+        assert hist, f"{prefix}: no state progress recorded"
+        rows = hist[-1]
+        # final state: at most the flush sentinel's never-closing window/
+        # session (+1 slack for an open real window within the horizon)
+        assert rows[-1] <= 2, f"{prefix}: state retained at end: {rows}"
+        # state never held anywhere near the full emitted history
+        assert max(rows) < n + 2, f"{prefix}: state ~ total history: {rows}"

@@ -57,11 +57,39 @@ def encoded_dirs(sample, tmp_path_factory):
     tbl, us = sample
     tmp_path = tmp_path_factory.mktemp("ts_encodings")
     ns = pa.compute.multiply(us.cast(pa.int64()), 1000)
-    return {
+    dirs = {
         "nanos_int64": _write_encoding(tmp_path, "nanos_int64", tbl, ns, pa.timestamp("ns")),
         "us_ntz": _write_encoding(tmp_path, "us_ntz", tbl, us, pa.timestamp("us")),
         "us_ltz": _write_encoding(tmp_path, "us_ltz", tbl, us, pa.timestamp("us", tz="UTC")),
     }
+    # INT96 (legacy Hive/Impala physical type, r4-verdict item 8): stores
+    # full nanosecond instants, so it joins the exact-equality family.
+    int96_dir = tmp_path / "int96"
+    int96_dir.mkdir()
+    i = tbl.column_names.index("ts")
+    recoded = tbl.set_column(i, "ts", ns.cast(pa.timestamp("ns")))
+    pq.write_table(
+        recoded,
+        str(int96_dir / "events.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    dirs["int96"] = str(int96_dir)
+    return dirs
+
+
+@pytest.fixture(scope="module")
+def millis_dir(sample, tmp_path_factory):
+    """TIMESTAMP(MILLIS) — lossy vs the µs sample, so it gets its own
+    truncation-aware assertions instead of joining the equality family."""
+    tbl, us = sample
+    tmp_path = tmp_path_factory.mktemp("ts_millis")
+    ms = pa.array(
+        [v // 1000 for v in us.cast(pa.int64()).to_pylist()], pa.int64()
+    )
+    return (
+        _write_encoding(tmp_path, "ms_ntz", tbl, ms, pa.timestamp("ms")),
+        ms,
+    )
 
 
 def _batch_minmax(spark, d):
@@ -140,3 +168,19 @@ def test_orc_timestamp_roundtrip(spark, sf_dir, tmp_path):
         .first()
     )
     assert tuple(got) == tuple(want) and got["n"] > 0
+
+
+def test_millis_encoding_reads_truncation_exact(spark, encoded_dirs, millis_dir):
+    """TIMESTAMP(MILLIS): batch and stream agree with each other, land in
+    the right epoch, and differ from the µs reference only by sub-ms
+    truncation — a mis-scaled read (ms as µs or ns) would be off by 1000×."""
+    d, _ms = millis_dir
+    b = _batch_minmax(spark, d)
+    s = _stream_minmax(spark, d)
+    assert s == b, f"stream read of ms encoding disagrees with batch: {s} != {b}"
+    assert b[2] == N_ROWS
+    assert b[0] > dt.datetime(2000, 1, 1), "ms ts mis-scaled (1970 bug)"
+    ref = _batch_minmax(spark, encoded_dirs["us_ntz"])
+    for got, want in [(b[0], ref[0]), (b[1], ref[1])]:
+        delta = abs((want - got).total_seconds())
+        assert delta < 0.001, f"ms truncation off: {got} vs {want} ({delta}s)"
