@@ -53,6 +53,152 @@ HEADLINE = [
 ]
 
 
+#: scale-2 suite: the five heaviest headline queries, run on a ~10×
+#: concatenation of the configured SF (≈ sf1 when the base is sf0.1:
+#: 6M lineitem rows) so PLAN quality — shuffle layout, broadcast choice,
+#: bucketed candidate generation — dominates the signal instead of the
+#: ~0.3 s/query fixed session cost that floors the sf0.1 numbers.
+SCALE2 = [
+    "q01_pricing_summary",
+    "q02_segment_revenue",
+    "q61_lsh_ann_topk",
+    "q69_stream_stream_attribution",
+    "q86_near_dup_clusters",
+]
+
+_X10_COPIES = 10
+
+
+def _write_single_file(df, out_dir: str, name: str, single: bool = False) -> None:
+    """Write df as <name>.parquet. ``single=True`` produces ONE file (the
+    layout the pathGlobFilter'd stream reader requires for events);
+    everything else is written as a multi-file DIRECTORY named
+    <name>.parquet so the scale-2 scans parallelize across row groups
+    AND files — a single 200 MB file caps the scan at ~2 tasks."""
+    import shutil
+
+    target = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    elif os.path.exists(target):
+        os.unlink(target)
+    if not single:
+        df.write.mode("overwrite").parquet(target)
+        return
+    stage = os.path.join(out_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        f for f in os.listdir(stage) if f.endswith(".parquet") and f.startswith("part-")
+    )
+    shutil.move(os.path.join(stage, part), target)
+    shutil.rmtree(stage)
+
+
+def _build_x10(spark, src_dir: str, out_dir: str) -> None:
+    """Materialize a ~10× concatenation of src_dir for the scale-2 suite.
+
+    Key columns are offset per copy so FK joins keep their selectivity
+    (orders↔lineitem share the same orderkey offset; events shift
+    user_id so stream-stream attribution pairs scale ×10, not ×100);
+    document text is word-rotated per copy so the near-dup rate stays at
+    the corpus's natural level instead of every doc gaining 9 exact
+    twins; dimensions (region..customer) pass through unchanged so
+    broadcast-vs-shuffle decisions face the same dimension sizes with a
+    10× fact side — exactly the 100 TB shape in miniature.
+    """
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ["region", "nation", "supplier", "part", "customer"]:
+        _write_single_file(
+            spark.read.parquet(os.path.join(src_dir, f"{t}.parquet")), out_dir, t
+        )
+
+    def replicate(df, offsets: dict[str, int], extra=None):
+        parts = []
+        for i in range(_X10_COPIES):
+            p = df
+            for c, off in offsets.items():
+                p = p.withColumn(c, F.col(c) + F.lit(i * off))
+            if extra is not None:
+                p = extra(p, i)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def next_pow10(df, col) -> int:
+        hi = df.agg(F.max(col)).first()[0] or 1
+        off = 1
+        while off <= hi:
+            off *= 10
+        return off
+
+    orders = spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(src_dir, "lineitem.parquet"))
+    okey_off = next_pow10(orders, "o_orderkey")
+    _write_single_file(replicate(orders, {"o_orderkey": okey_off}), out_dir, "orders")
+    _write_single_file(
+        replicate(lineitem, {"l_orderkey": okey_off}), out_dir, "lineitem"
+    )
+
+    events = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    _write_single_file(
+        replicate(
+            events,
+            {
+                "event_id": next_pow10(events, "event_id"),
+                "user_id": next_pow10(events, "user_id"),
+            },
+        ),
+        out_dir,
+        "events",
+        single=True,  # the stream reader's pathGlobFilter matches one FILE
+    )
+
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+
+    def rotate_text(p, i):
+        if i == 0:
+            return p
+        w = F.split(F.col("text"), " ")
+        rotated = F.concat(
+            F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))),
+            F.slice(w, 1, F.least(F.lit(i), F.size(w))),
+        )
+        return p.withColumn("text", F.concat_ws(" ", rotated))
+
+    _write_single_file(
+        replicate(docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=rotate_text),
+        out_dir,
+        "documents",
+    )
+
+    emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    _write_single_file(
+        replicate(emb, {"vec_id": next_pow10(emb, "vec_id")}), out_dir, "embeddings"
+    )
+
+
+def _run_suite(spark, names, sf_dir, runs, timings, errors) -> None:
+    for name in names:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        best = float("inf")
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # fail-soft (BENCH_r03 lesson)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -75,24 +221,7 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        q = REGISTRY.get(name)
-        if q is None:
-            continue
-        best = float("inf")
-        try:
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = q.fn(spark, sf_dir)
-                # execute fully without driver-side materialization
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # fail-soft: one bad query must not erase
-            # the whole round's number (BENCH_r03 lesson — the q42 crash
-            # left rc=1 and NO JSON line at all)
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+    _run_suite(spark, HEADLINE, sf_dir, runs, timings, errors)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -102,6 +231,33 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # second scale point: top-5 on a ~10× concatenation (≈ sf1 from
+    # sf0.1). Built once and reused; disable with SPARK_GRAFT_BENCH_SCALE2=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "1") != "0":
+        x10_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "bench_x10"
+        )
+        try:
+            if not os.path.exists(os.path.join(x10_dir, "embeddings.parquet")):
+                t0 = time.perf_counter()
+                _build_x10(spark, sf_dir, x10_dir)
+                print(
+                    f"bench: built x10 dataset in {time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+            t2: dict[str, float] = {}
+            _run_suite(spark, SCALE2, x10_dir, runs, t2, errors)
+            out["scale2"] = {
+                "sf": (float(sf) if sf.replace(".", "").isdigit() else 0.1)
+                * _X10_COPIES,
+                "queries": t2,
+                "total": round(sum(t2.values()), 3),
+            }
+        except Exception as exc:  # scale-2 must never erase the headline line
+            errors["_scale2_build"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: scale2 FAILED: {errors['_scale2_build']}", file=sys.stderr)
+
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

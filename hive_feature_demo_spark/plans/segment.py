@@ -446,3 +446,93 @@ def q122_nl_segment_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "request_id", "count", "segment_id", "avg_spent", "open_rate"
     ).orderBy("request_id")
+
+
+# ---------------------------------------------------------------------------
+# q303 — the README "front door" end to end (r4-verdict item 6): the
+# reference's three Try-these prompts (README.md:72-74), replayed as ONE
+# pipeline closing the A16 -> A14 -> A15 chain:
+#   1. "Find jazz fans who haven't bought tickets in the last 3 months"
+#      -> parse_nl_query (rule grammar, agent.py:44-77's tool call) ->
+#      segment_stats (tools.py query_crm)
+#   2. "Create an email and SMS campaign for the New Orleans Jazz
+#      Festival on April 15th" -> generate_copy (tools.py:146-154
+#      deterministic template)
+#   3. "Schedule it for tomorrow at 10am" -> schedule_campaign
+#      (tools.py:157-185); "tomorrow" resolves against the frozen
+#      REF_TODAY, so the whole conversation is deterministic.
+# The oracle replays every step independently: the audience WHERE clause
+# is handwritten (not parser-derived), the copy strings are the template
+# contract spelled out as literals, and campaign_id is re-derived with
+# DuckDB's own sha256 — a regression anywhere in the chain breaks the
+# hash.
+# ---------------------------------------------------------------------------
+
+README_PROMPT = "Find jazz fans who haven't bought tickets in the last 3 months"
+_FD_EVENT = "New Orleans Jazz Festival"
+_FD_DATE = "April 15th"
+_FD_SEND_AT = (REF_TODAY + dt.timedelta(days=1)).isoformat() + "T10:00:00"
+_FD_SEG_ID = seg.segment_id_for(nlquery.parse_nl_query(README_PROMPT), REF_TODAY)
+_FD_DESC = "jazz fans who haven't bought tickets in the last 3 months"
+
+
+@register(
+    "q303_readme_front_door",
+    oracle=f"""
+    WITH aud AS (
+      SELECT COUNT(*) AS audience_size
+      FROM read_parquet('{FANS_PARQUET}')
+      WHERE len(list_filter(genres, g -> lower(g) = 'jazz')) > 0
+        AND {_NL_MONTHS} >= 3
+    )
+    SELECT concat('cmp_', substring(sha256(
+             concat('{_FD_SEG_ID}', '|', '{_FD_EVENT}', '|', '{_FD_SEND_AT}')
+           ), 1, 8)) AS campaign_id,
+           '{_FD_SEG_ID}' AS segment_id,
+           '{_FD_EVENT}' AS event_name,
+           audience_size,
+           '{_FD_SEND_AT}' AS send_at,
+           'scheduled' AS status,
+           'You''re invited: {_FD_EVENT}' AS email_subject,
+           'Don''t miss {_FD_EVENT} on {_FD_DATE}' AS email_preview,
+           '{_FD_EVENT} — {_FD_DATE}. Get your tickets now!' AS sms_body,
+           TRUE AS subject_ok,
+           TRUE AS sms_ok
+    FROM aud
+    """,
+    category="segment",
+)
+def q303_readme_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filters = nlquery.parse_nl_query(README_PROMPT)
+    stats = seg.segment_stats(_fans(spark), filters, REF_TODAY)
+    req = stats.select(
+        "segment_id",
+        F.col("count").cast("long").alias("audience_size"),
+        F.lit(_FD_DESC).alias("audience_description"),
+        F.lit(_FD_EVENT).alias("event_name"),
+        F.lit(_FD_DATE).alias("event_date"),
+        F.lit("enthusiastic").alias("tone"),
+    )
+    with_copy = generate_copy(req)
+    drafts = with_copy.select(
+        "segment_id",
+        "event_name",
+        "audience_size",
+        F.lit(_FD_SEND_AT).alias("send_at"),
+        F.col("email.subject").alias("email_subject"),
+        F.col("email.preview_text").alias("email_preview"),
+        F.col("sms.body").alias("sms_body"),
+        "subject_ok",
+        "sms_ok",
+    )
+    return schedule_campaign(
+        drafts.select("segment_id", "event_name", "audience_size", "send_at")
+    ).join(
+        F.broadcast(
+            drafts.select(
+                "segment_id", "email_subject", "email_preview", "sms_body",
+                "subject_ok", "sms_ok",
+            )
+        ),
+        "segment_id",
+    )

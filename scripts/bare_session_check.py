@@ -23,8 +23,14 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json-out" in argv:
+        i = argv.index("--json-out")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:]
 
     import __spark_entry__ as entry
     from tests import oracle
@@ -81,6 +87,9 @@ def main() -> int:
             }
         )
     )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
     bad = {k: v for k, v in results.items() if v["status"] in ("FAIL", "ERR")}
     if bad:
         with open("/tmp/bare_check_failures.json", "w") as f:

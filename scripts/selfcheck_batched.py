@@ -1,0 +1,127 @@
+"""Driver-parity self-check with PROCESS isolation (VERDICT r4 item 2).
+
+The single-process ``selfcheck.py`` shares one SparkSession across all 294
+queries — the r2/r3 lesson is that entry-point conf and encoding state can
+differ between that environment and the driver's fresh harness. This
+wrapper reproduces the driver's isolation model:
+
+- the registry is split into batches (default 25 queries);
+- every batch runs in a FRESH ``python`` subprocess through
+  ``bare_session_check.py`` (a VANILLA SparkSession — no get_spark confs);
+- the streaming family runs ONE QUERY PER PROCESS (stateful runs are the
+  queries most sensitive to inherited session state);
+- per-batch JSON is merged into one SELFCHECK_r{N}.json in the same shape
+  as the single-process selfcheck.
+
+Usage: python scripts/selfcheck_batched.py [--sf DIR] [--out FILE]
+       [--batch N] [--only prefix ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hive_feature_demo_spark.plans import REGISTRY  # noqa: E402
+
+#: categories whose state store / watermark behavior makes them the most
+#: environment-sensitive — isolated one process per query
+_ISOLATED_CATEGORIES = {"streaming"}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    out_path = "SELFCHECK_r5.json"
+    batch_size = 25
+    only: list[str] = []
+    if "--sf" in argv:
+        sf_dir = argv[argv.index("--sf") + 1]
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    if "--batch" in argv:
+        batch_size = int(argv[argv.index("--batch") + 1])
+    if "--only" in argv:
+        only = argv[argv.index("--only") + 1 :]
+
+    names = sorted(REGISTRY)
+    if only:
+        names = [n for n in names if any(n.startswith(p) for p in only)]
+    isolated = [
+        n for n in names if getattr(REGISTRY[n], "category", None) in _ISOLATED_CATEGORIES
+    ]
+    grouped = [n for n in names if n not in set(isolated)]
+
+    batches: list[list[str]] = [[n] for n in isolated]
+    for i in range(0, len(grouped), batch_size):
+        batches.append(grouped[i : i + batch_size])
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    merged: dict[str, dict] = {}
+    t_start = time.time()
+    for bi, batch in enumerate(batches):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            tmp = tf.name
+        cmd = [
+            sys.executable,
+            os.path.join(here, "bare_session_check.py"),
+            "--json-out",
+            tmp,
+            sf_dir,
+            *batch,
+        ]
+        label = batch[0] if len(batch) == 1 else f"{batch[0]}..{batch[-1]} ({len(batch)})"
+        t0 = time.time()
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            with open(tmp) as f:
+                merged.update(json.load(f))
+        except Exception:
+            for n in batch:
+                merged[n] = {
+                    "status": "ERR",
+                    "err": f"batch subprocess rc={proc.returncode}: "
+                    + (proc.stderr or proc.stdout)[-600:],
+                }
+        finally:
+            os.unlink(tmp)
+        n_bad = sum(
+            1 for n in batch if merged.get(n, {}).get("status") not in ("pass", "rows-only")
+        )
+        print(
+            f"[{bi + 1}/{len(batches)}] {label}: "
+            f"{'OK' if n_bad == 0 else f'{n_bad} BAD'} ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+
+    counts = {"pass": 0, "FAIL": 0, "ERR": 0, "rows-only": 0}
+    for rec in merged.values():
+        counts[rec.get("status", "ERR")] = counts.get(rec.get("status", "ERR"), 0) + 1
+    summary = {
+        "harness": "bare-session subprocess batches; streaming 1-per-process",
+        "sf_dir": sf_dir,
+        "n_queries": len(merged),
+        "pass": counts["pass"],
+        "fail": counts["FAIL"],
+        "err": counts["ERR"],
+        "rows_only": counts["rows-only"],
+        "total_sec": round(time.time() - t_start, 1),
+        "results": merged,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(
+        f"{counts['pass']} pass / {counts['FAIL']} fail / {counts['ERR']} err "
+        f"/ {counts['rows-only']} rows-only -> {out_path}"
+    )
+    return 1 if counts["FAIL"] or counts["ERR"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -222,3 +222,29 @@ def test_api_facade_matches_reference_tool_shapes(spark, fans_df):
     # idempotent: same draft -> same id
     again = schedule_campaign(spark, res["segment_id"], "Summer Fest", res["count"], "2025-06-01T10:00:00")
     assert again["campaign_id"] == sched["campaign_id"]
+
+
+def test_readme_front_door_chain(spark):
+    """q303: the README's three prompts as one deterministic pipeline —
+    the NL parse must yield exactly the jazz/3-month filters, and the
+    minted campaign_id must be idempotent across re-runs (same content
+    hash), closing the A16->A14->A15 chain as one tested unit."""
+    from hive_feature_demo_spark.operators.nlquery import parse_nl_query
+    from hive_feature_demo_spark.plans.segment import (
+        README_PROMPT,
+        q303_readme_front_door,
+    )
+
+    f = parse_nl_query(README_PROMPT)
+    assert f.genres == ("jazz",)
+    assert f.min_months_since_purchase == 3.0
+    assert f.max_months_since_purchase is None and f.city is None
+
+    r1 = q303_readme_front_door(spark, "unused").collect()
+    r2 = q303_readme_front_door(spark, "unused").collect()
+    assert len(r1) == 1 and r1 == r2  # idempotent content-hash id
+    row = r1[0]
+    assert row["campaign_id"].startswith("cmp_") and row["status"] == "scheduled"
+    assert row["audience_size"] > 0
+    assert row["email_subject"] == "You're invited: New Orleans Jazz Festival"
+    assert row["subject_ok"] and row["sms_ok"]
