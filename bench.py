@@ -100,11 +100,14 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
     Key columns are offset per copy so FK joins keep their selectivity
     (orders↔lineitem share the same orderkey offset; events shift
     user_id so stream-stream attribution pairs scale ×10, not ×100);
-    document text is word-rotated per copy so the near-dup rate stays at
-    the corpus's natural level instead of every doc gaining 9 exact
-    twins; dimensions (region..customer) pass through unchanged so
-    broadcast-vs-shuffle decisions face the same dimension sizes with a
-    10× fact side — exactly the 100 TB shape in miniature.
+    document text gets a per-copy deterministic word SHUFFLE (md5-keyed
+    sort) so copies share vocabulary but not 3-gram shingles — the
+    near-dup rate stays at the corpus's natural level. (A rotation would
+    NOT work: it preserves every consecutive triple except the seam, so
+    each doc would gain 9 true near-duplicates and LSH bucket pairs
+    would scale ×100.) Dimensions (region..customer) pass through
+    unchanged so broadcast-vs-shuffle decisions face the same dimension
+    sizes with a 10× fact side — exactly the 100 TB shape in miniature.
     """
     from pyspark.sql import functions as F
 
@@ -159,18 +162,21 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
 
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
 
-    def rotate_text(p, i):
+    def shuffle_text(p, i):
         if i == 0:
             return p
         w = F.split(F.col("text"), " ")
-        rotated = F.concat(
-            F.slice(w, i + 1, F.greatest(F.size(w) - i, F.lit(0))),
-            F.slice(w, 1, F.least(F.lit(i), F.size(w))),
+        keyed = F.transform(
+            w,
+            lambda x: F.struct(
+                F.md5(F.concat(x, F.lit(f"_{i}"))).alias("k"), x.alias("w")
+            ),
         )
-        return p.withColumn("text", F.concat_ws(" ", rotated))
+        shuffled = F.transform(F.array_sort(keyed), lambda s: s["w"])
+        return p.withColumn("text", F.concat_ws(" ", shuffled))
 
     _write_single_file(
-        replicate(docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=rotate_text),
+        replicate(docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=shuffle_text),
         out_dir,
         "documents",
     )

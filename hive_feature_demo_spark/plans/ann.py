@@ -955,3 +955,100 @@ def q211_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q306 — truncated-dimension (Matryoshka-style) recall audit: recall@5 of
+# cosine search over only the FIRST m components (m in 8/16/32) against
+# the exact full-64-dim ground truth, per probe — the eval that decides
+# whether shipping truncated embeddings (cheaper ANN, smaller index) is
+# safe for this corpus. Same deterministic regime as q169: rounded
+# cosines, id tie-breaks, integer hits, recall in basis points. Scale
+# shape: the probe set is broadcast; each m is one more broadcast pass
+# over the corpus with a SHORTER dot product — at 100 TB the m=8 pass
+# reads 8x fewer vector bytes, which is the point being measured.
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = (8, 16, 32)
+
+
+def _mat_top(dim_expr_a: str, dim_expr_b: str, label: str) -> str:
+    return f"""
+      SELECT query_id, neighbor_id, {label} AS m FROM (
+        SELECT q.query_id, c.neighbor_id,
+               {sql_round_det(_COS.format(a=dim_expr_a, b=dim_expr_b), 4)} AS cos_sim,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_round_det(_COS.format(a=dim_expr_a, b=dim_expr_b), 4)} DESC,
+                          c.neighbor_id) AS rank
+        FROM q, c
+        WHERE c.neighbor_id != q.query_id
+      ) WHERE rank <= 5"""
+
+
+@register(
+    "q306_matryoshka_recall",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 20
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_round_det(_COS.format(a="q.qv", b="c.cv"), 4)} DESC,
+                          c.neighbor_id) AS rank
+        FROM q, c WHERE c.neighbor_id != q.query_id
+      ) WHERE rank <= 5
+    ), trunc_top AS (
+      {" UNION ALL ".join(
+          _mat_top(f"q.qv[1:{m}]", f"c.cv[1:{m}]", m) for m in _MAT_DIMS
+      )}
+    )
+    SELECT q.query_id AS query_id, m.m AS dims,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.hits, 0) * 2000 AS BIGINT) AS recall_bp
+    FROM q CROSS JOIN (SELECT DISTINCT m FROM trunc_top) m
+    LEFT JOIN (
+      SELECT t.query_id AS hq, t.m AS hm, COUNT(*) AS hits
+      FROM exact_top e JOIN trunc_top t
+        ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+      GROUP BY 1, 2
+    ) h ON h.hq = q.query_id AND h.hm = m.m
+    ORDER BY query_id, dims
+    """,
+    category="ann",
+)
+def q306_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact.localCheckpoint(eager=True)  # reused by all three m passes
+    out = None
+    for m in _MAT_DIMS:
+        emb_m = emb.select("vec_id", F.slice("embedding", 1, m).alias("embedding"))
+        q_m = queries.select("vec_id", F.slice("embedding", 1, m).alias("embedding"))
+        trunc = similarity.cosine_topk(emb_m, q_m, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            exact.join(trunc, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        spine = queries.select(
+            F.col("vec_id").alias("query_id"), F.lit(m).cast("long").alias("dims")
+        )
+        part = spine.join(hits, "query_id", "left").select(
+            "query_id",
+            "dims",
+            F.coalesce("hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("hits", F.lit(0)) * 2000).cast("long").alias("recall_bp"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("query_id", "dims")

@@ -3516,3 +3516,106 @@ def q302_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kappa"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q305 — Mann-Whitney U (Wilcoxon rank-sum) test: are document lengths
+# (n_chars) from the first source family (src0-src9) drawn from the same
+# distribution as the second (src10-src19)? The nonparametric two-sample
+# location test a corpus audit reaches for when q298's KS needs a
+# rank-based complement. Scale shape (q291's): ranks are NEVER assigned
+# per row — the distinct-value grid carries per-group counts, a window
+# over DISTINCT values (bounded by value cardinality, not corpus size)
+# yields cumulative counts, and tie-averaged rank sums come out in exact
+# INTEGER space: 2*R1 = sum n1_v * (2*cum_before + n_v + 1). The z-score
+# applies the standard tie-corrected variance. No global per-row sort
+# ever happens.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q305_mann_whitney_u",
+    oracle=f"""
+    WITH d AS (
+      SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS grp,
+             n_chars AS v
+      FROM documents
+    ),
+    grid AS (
+      SELECT v,
+             SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1v,
+             COUNT(*) AS nv
+      FROM d GROUP BY v
+    ),
+    cum AS (
+      SELECT v, n1v, nv,
+             COALESCE(SUM(nv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM grid
+    ),
+    tots AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(nv - n1v) AS BIGINT) AS n2,
+             CAST(SUM(n1v * (2 * cb + nv + 1)) AS BIGINT) AS r1_twice,
+             CAST(SUM(nv * nv * nv - nv) AS BIGINT) AS tie_term,
+             CAST(SUM(nv) AS BIGINT) AS n
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(r1_twice AS DOUBLE) / 2.0 AS r1,
+           (CAST(r1_twice AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0 AS u1,
+           n1 * CAST(n2 AS DOUBLE)
+             - (CAST(r1_twice AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0 AS u2,
+           {sql_round_det(
+               "((CAST(r1_twice AS DOUBLE) - n1 * (n1 + 1.0)) / 2.0"
+               " - n1 * CAST(n2 AS DOUBLE) / 2.0)"
+               " / sqrt(n1 * CAST(n2 AS DOUBLE) / 12.0"
+               "   * ((n + 1.0) - CAST(tie_term AS DOUBLE) / (n * (n - 1.0))))",
+               6,
+           )} AS z_score
+    FROM tots
+    """,
+    category="stats",
+)
+def q305_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.substring("source", 4, 10).cast("int") < 10, 1)
+        .otherwise(2)
+        .alias("grp"),
+        F.col("n_chars").alias("v"),
+    )
+    grid = d.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1v"),
+        F.count("*").alias("nv"),
+    )
+    # window over DISTINCT values — cardinality-bounded, same scale
+    # argument as q291's ECDF grid
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.withColumn("cb", F.coalesce(F.sum("nv").over(w), F.lit(0)))
+    tots = cum.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("nv") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum(F.col("n1v") * (2 * F.col("cb") + F.col("nv") + 1))
+        .cast("long")
+        .alias("r1_twice"),
+        F.sum(F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv"))
+        .cast("long")
+        .alias("tie_term"),
+        F.sum("nv").cast("long").alias("n"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = F.col("n").cast("double")
+    u1 = (F.col("r1_twice").cast("double") - n1d * (n1d + 1.0)) / 2.0
+    var = (
+        n1d * n2d / 12.0
+        * ((nd + 1.0) - F.col("tie_term").cast("double") / (nd * (nd - 1.0)))
+    )
+    return tots.select(
+        "n1",
+        "n2",
+        (F.col("r1_twice").cast("double") / 2.0).alias("r1"),
+        u1.alias("u1"),
+        (n1d * n2d - u1).alias("u2"),
+        round_det((u1 - n1d * n2d / 2.0) / F.sqrt(var), 6).alias("z_score"),
+    )

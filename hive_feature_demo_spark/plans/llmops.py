@@ -1034,3 +1034,71 @@ def q157_simhash_diversity_downsample(spark: SparkSession, sf_dir: str) -> DataF
         F.count("*").over(w).cast("long").alias("bucket_size"),
     )
     return r.filter(F.col("rk") <= 3).orderBy("bucket", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q304 — near-dup-aware train/valid/test split: q137's hash split assigns
+# each doc independently, so two near-duplicates can straddle the
+# train/valid boundary — silent eval contamination that n-gram
+# decontamination (q138) only catches for exact spans. The fix every
+# production pipeline ships: split by the CLUSTER representative, not the
+# doc — the q86 connected component's min id (the doc itself for
+# singletons) — so a whole near-dup family lands in ONE split by
+# construction. Scale shape: the cluster map is a LEFT join of documents
+# against the (tiny) component assignment; the split is then the same
+# narrow hash map as q137. Cross-split leakage is structurally zero —
+# asserted in tests/test_curation.py.
+# ---------------------------------------------------------------------------
+
+_H4_REP = numeric.sql_hex_to_int("md5(CAST(rep AS VARCHAR))", "1", 4)
+
+
+@register(
+    "q304_cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_SIG_CTE},
+{_LSH_CLUSTERS_CTE},
+    rep AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS rep,
+             (c.node IS NOT NULL) AS in_cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT CASE WHEN {_H4_REP} % 100 < 80 THEN 'train'
+                WHEN {_H4_REP} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_members,
+           COUNT(DISTINCT rep) AS n_groups
+    FROM rep
+    GROUP BY 1 ORDER BY 1
+    """,
+    category="curation",
+)
+def q304_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators import curation as cur
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    )
+    comp = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+    rep = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster", "doc_id").alias("rep"),
+        F.col("cluster").isNotNull().alias("in_cluster"),
+    )
+    return (
+        rep.select(cur.assign_split("rep", 80, 10).alias("split"), "rep", "in_cluster")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("in_cluster"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_members"),
+            F.countDistinct("rep").alias("n_groups"),
+        )
+        .orderBy("split")
+    )

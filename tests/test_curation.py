@@ -156,3 +156,97 @@ def test_ngram_repetition_stats_keep_rule(spark):
     assert v["top_bigram_n"] == 1 and v["dup_trigram_n"] == 0 and v["keep"]
     s = rows[3]  # 1-word doc: no grams, vacuously kept
     assert (s["n_bigrams"], s["n_trigrams"], s["keep"]) == (0, 0, True)
+
+
+def test_cluster_aware_split_zero_leakage(spark, sf_dir):
+    """q304's defining property: no near-dup PAIR straddles a split
+    boundary (both endpoints inherit the split of their shared cluster
+    representative) — the leakage that per-doc hash splits (q137) allow."""
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.operators import curation as cur
+    from hive_feature_demo_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    ).localCheckpoint(eager=True)
+    assert pairs.count() > 0, "fixture has no near-dup pairs to leak"
+    comp = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+    rep = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            cur.assign_split(
+                F.coalesce("cluster", "doc_id"), 80, 10
+            ).alias("split"),
+        )
+    )
+    a = rep.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    b = rep.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    leaked = (
+        pairs.join(a, "id_a").join(b, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert leaked.count() == 0
+
+    # contrast: the per-doc hash split DOES leak on this fixture (the
+    # reason q304 exists); if it ever stops leaking the fixture lost its
+    # near-dup structure and the test above is vacuous
+    naive = docs.select("doc_id", cur.assign_split("doc_id", 80, 10).alias("split"))
+    na = naive.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    nb = naive.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    naive_leaked = (
+        pairs.join(na, "id_a").join(nb, "id_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert naive_leaked.count() > 0
+
+
+def test_mann_whitney_matches_bruteforce(spark, sf_dir):
+    """q305's grid-based rank sums equal the textbook per-row tie-averaged
+    ranking computed brute-force in python on the same table."""
+    import duckdb
+
+    from hive_feature_demo_spark.plans.audit_ops import q305_mann_whitney_u
+
+    row = q305_mann_whitney_u(spark, sf_dir).first()
+    con = duckdb.connect()
+    vals = con.sql(
+        "SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10 THEN 1 ELSE 2 END, "
+        f"n_chars FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    ranked = sorted((v, g) for g, v in vals)
+    # tie-averaged ranks
+    ranks = {}
+    i = 0
+    while i < len(ranked):
+        j = i
+        while j < len(ranked) and ranked[j][0] == ranked[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    r1 = sum(ranks[k] for k in range(len(ranked)) if ranked[k][1] == 1)
+    n1 = sum(1 for g, _ in vals if g == 1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row["n1"] == n1
+    assert abs(row["r1"] - r1) < 1e-9
+    assert abs(row["u1"] - u1) < 1e-9
+
+
+def test_matryoshka_recall_sane(spark, sf_dir):
+    """q306: recalls are valid basis points and the mean recall at m=32
+    is at least the mean at m=8 (more dimensions, better approximation
+    of the full-64 ground truth on aggregate)."""
+    from hive_feature_demo_spark.plans.ann import q306_matryoshka_recall
+
+    rows = q306_matryoshka_recall(spark, sf_dir).collect()
+    assert all(0 <= r["recall_bp"] <= 10000 for r in rows)
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["dims"], []).append(r["recall_bp"])
+    mean = {m: sum(v) / len(v) for m, v in by_m.items()}
+    assert set(mean) == {8, 16, 32}
+    assert mean[32] >= mean[8]
