@@ -293,3 +293,122 @@ def q197_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.orderBy(F.desc("exact_count"), "user_id").limit(_CMS_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# q307 — HyperLogLog from first principles, hash-exact: q54 exercises
+# Spark's built-in HLL++ against a 10% tolerance; this builds the sketch
+# itself from md5 bits so BOTH engines compute the identical estimate —
+# the mergeability argument made concrete. Register = 2 hex chars % 64
+# (uniform: 256 ≡ 0 mod 64); rank = leading-zero bits of the next 15 hex
+# digits (pure string/CASE space — no float log2 on the hot path), with
+# the standard small-range linear-counting correction. Scale: the ONLY
+# state is 64 (register, max-rank) cells — the groupBy(register) max is
+# the sketch merge a 1000-executor cluster would run map-side; the fact
+# table is touched once.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+
+#: leading-zero bits within the first nonzero hex digit (value 1..15)
+_NLZ_CASE_SQL = (
+    "CASE WHEN {d} >= 8 THEN 0 WHEN {d} >= 4 THEN 1"
+    " WHEN {d} >= 2 THEN 2 ELSE 3 END"
+)
+
+
+@register(
+    "q307_hyperloglog_exact_replay",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), ranked AS (
+      SELECT {sql_hex_to_int('h', '1', 2)} % {_HLL_M} AS reg,
+             CASE WHEN ltrim(substr(h, 3, 15), '0') = '' THEN 61
+                  ELSE (15 - length(ltrim(substr(h, 3, 15), '0'))) * 4
+                       + ({_NLZ_CASE_SQL.format(
+                           d=sql_hex_to_int("ltrim(substr(h, 3, 15), '0')", "1", 1)
+                       )}) + 1
+             END AS rank
+      FROM keyed
+    ), regs AS (
+      SELECT reg, MAX(rank) AS m FROM ranked GROUP BY reg
+    ), agg AS (
+      SELECT CAST({_HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+             SUM(power(2.0, -m)) + ({_HLL_M} - COUNT(*)) AS denom
+      FROM regs
+    ), est AS (
+      SELECT v_empty,
+             {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / denom AS raw
+      FROM agg
+    ), fin AS (
+      SELECT v_empty, raw,
+             CASE WHEN raw <= 2.5 * {_HLL_M} AND v_empty > 0
+                  THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / v_empty)
+                  ELSE raw END AS corrected
+      FROM est
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct,
+           CAST({_HLL_M} AS BIGINT) - v_empty AS registers_used,
+           round(floor(raw * 10000 + 0.5) / 10000, 4) AS raw_estimate,
+           round(floor(corrected * 10000 + 0.5) / 10000, 4) AS hll_estimate,
+           CAST(FLOOR(10000.0 * abs(corrected
+                 - (SELECT COUNT(DISTINCT user_id) FROM events))
+               / (SELECT COUNT(DISTINCT user_id) FROM events)) AS BIGINT)
+             AS abs_err_bp
+    FROM fin
+    """,
+    category="stats",
+)
+def q307_hyperloglog_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    keyed = e.select(h.alias("h")).distinct()
+    h15 = F.expr("substr(h, 3, 15)")
+    stripped = F.expr("trim(LEADING '0' FROM substr(h, 3, 15))")
+    first_nz = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    nlz = (
+        F.when(first_nz >= 8, 0)
+        .when(first_nz >= 4, 1)
+        .when(first_nz >= 2, 2)
+        .otherwise(3)
+    )
+    ranked = keyed.select(
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HLL_M).alias("reg"),
+        F.when(stripped == "", F.lit(61))
+        .otherwise((F.lit(15) - F.length(stripped)) * 4 + nlz + 1)
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("reg").agg(F.max("rank").alias("m"))
+    agg = regs.agg(
+        (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v_empty"),
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(_HLL_M) - F.count("*"))
+        ).alias("denom"),
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    out = agg.withColumn("raw", raw).withColumn(
+        "corrected",
+        F.when(
+            (F.col("raw") <= 2.5 * _HLL_M) & (F.col("v_empty") > 0),
+            F.lit(_HLL_M)
+            * F.log(F.lit(float(_HLL_M)) / F.col("v_empty")),
+        ).otherwise(F.col("raw")),
+    )
+    rd = lambda c: F.round(F.floor(c * 10000 + 0.5) / 10000, 4)  # noqa: E731
+    return out.crossJoin(F.broadcast(exact)).select(
+        "exact_distinct",
+        (F.lit(_HLL_M) - F.col("v_empty")).cast("long").alias("registers_used"),
+        rd(F.col("raw")).alias("raw_estimate"),
+        rd(F.col("corrected")).alias("hll_estimate"),
+        F.floor(
+            10000.0
+            * F.abs(F.col("corrected") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        )
+        .cast("long")
+        .alias("abs_err_bp"),
+    )

@@ -369,3 +369,66 @@ def test_q254_kcore_matches_python_peel(spark):
     for u, (d, stable) in got.items():
         assert d == final_deg[u]
         assert stable == (d >= 2)
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """q307's scale claim is register mergeability: the sketch of a UNION
+    equals the register-wise MAX of per-part sketches — verified by
+    splitting events in half, sketching each, merging, and comparing to
+    the whole-table registers. Also: the python-side reference estimate
+    from the merged registers equals the query's output."""
+    import math
+
+    from hive_feature_demo_spark.catalog import table as _table
+    from hive_feature_demo_spark.plans.sketch_ops import (
+        _HLL_ALPHA,
+        _HLL_M,
+        q307_hyperloglog_exact_replay,
+    )
+
+    e = _table(spark, sf_dir, "events")
+
+    def registers(df):
+        h = F.md5(F.col("user_id").cast("string"))
+        keyed = df.select(h.alias("h")).distinct()
+        stripped = F.expr("trim(LEADING '0' FROM substr(h, 3, 15))")
+        first_nz = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+        nlz = (
+            F.when(first_nz >= 8, 0)
+            .when(first_nz >= 4, 1)
+            .when(first_nz >= 2, 2)
+            .otherwise(3)
+        )
+        ranked = keyed.select(
+            (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HLL_M).alias(
+                "reg"
+            ),
+            F.when(stripped == "", F.lit(61))
+            .otherwise((F.lit(15) - F.length(stripped)) * 4 + nlz + 1)
+            .alias("rank"),
+        )
+        return dict(
+            ranked.groupBy("reg").agg(F.max("rank").alias("m")).collect()
+        )
+
+    whole = registers(e)
+    lo = registers(e.filter(F.col("event_id") % 2 == 0))
+    hi = registers(e.filter(F.col("event_id") % 2 == 1))
+    merged = {}
+    for d in (lo, hi):
+        for r, m in d.items():
+            merged[r] = max(merged.get(r, 0), m)
+    assert merged == whole  # sketch(A ∪ B) == max-merge(sketch A, sketch B)
+
+    # reference estimate from the merged registers == the query's output
+    v_empty = _HLL_M - len(whole)
+    denom = sum(2.0 ** -m for m in whole.values()) + v_empty
+    raw = _HLL_ALPHA * _HLL_M * _HLL_M / denom
+    est = (
+        _HLL_M * math.log(_HLL_M / v_empty)
+        if raw <= 2.5 * _HLL_M and v_empty > 0
+        else raw
+    )
+    row = q307_hyperloglog_exact_replay(spark, sf_dir).first()
+    assert abs(row["hll_estimate"] - est) < 1e-3
+    assert row["registers_used"] == len(whole)
