@@ -3619,3 +3619,118 @@ def q305_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n1d * n2d - u1).alias("u2"),
         round_det((u1 - n1d * n2d / 2.0) / F.sqrt(var), 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q308 — Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+# pairwise slopes between monthly totals (+ the median-residual
+# intercept) — the outlier-proof alternative to q106's least-squares
+# trend lines (one wild month can't move it, breakdown point 29%). Scale
+# shape: the fact table reduces to the ~80-row MONTH grid first; the
+# pairwise self-join and positional-median windows run on grid²/2 ≈ 3k
+# rows — bounded by calendar cardinality, never corpus size (the q291
+# grid argument). Monthly totals in exact cents; medians selected
+# POSITIONALLY (avg of the two middle sorted values) so both engines
+# pick identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q308_theil_sen_trend",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT (EXTRACT(YEAR FROM o_orderdate) * 12
+              + EXTRACT(MONTH FROM o_orderdate)) AS m,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT (b.cents - a.cents) / (1.0 * (b.m - a.m)) AS slope
+      FROM monthly a JOIN monthly b ON a.m < b.m
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn, COUNT(*) OVER () AS n
+      FROM pairs
+    ),
+    med_slope AS (
+      SELECT AVG(slope) AS ts_slope FROM ranked
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    ),
+    resid AS (
+      SELECT monthly.cents - med_slope.ts_slope * monthly.m AS r
+      FROM monthly CROSS JOIN med_slope
+    ),
+    rranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS n
+      FROM resid
+    ),
+    med_int AS (
+      SELECT AVG(r) AS intercept FROM rranked
+      WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           {sql_round_det("(SELECT ts_slope FROM med_slope) / 100.0", 4)}
+             AS slope_per_month,
+           {sql_round_det("(SELECT intercept FROM med_int) / 100.0", 4)}
+             AS intercept
+    """,
+    category="stats",
+)
+def q308_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+        .localCheckpoint(eager=True)  # ~80 rows, feeds 3 consumers
+    )
+    a = monthly.select(F.col("m").alias("m1"), F.col("cents").alias("c1"))
+    b = monthly.select(F.col("m").alias("m2"), F.col("cents").alias("c2"))
+    pairs = (
+        a.join(b, F.col("m1") < F.col("m2"))
+        .select(
+            ((F.col("c2") - F.col("c1")) / (1.0 * (F.col("m2") - F.col("m1"))))
+            .alias("slope")
+        )
+    )
+
+    def positional_median(df, col):
+        # window over the bounded grid (<= months^2/2 rows) — not the fact
+        w = Window.orderBy(col)
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(Window.partitionBy())
+        )
+        return ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        ).agg(F.avg(col).alias("med"))
+
+    med_slope = positional_median(pairs, "slope").select(
+        F.col("med").alias("ts_slope")
+    )
+    resid = monthly.crossJoin(F.broadcast(med_slope)).select(
+        (F.col("cents") - F.col("ts_slope") * F.col("m")).alias("r"), "ts_slope"
+    )
+    med_int = positional_median(resid.select("r"), "r").select(
+        F.col("med").alias("intercept")
+    )
+    counts = monthly.agg(F.count("*").cast("long").alias("n_months"))
+    npairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        counts.crossJoin(F.broadcast(npairs))
+        .crossJoin(F.broadcast(med_slope))
+        .crossJoin(F.broadcast(med_int))
+        .select(
+            "n_months",
+            "n_pairs",
+            round_det(F.col("ts_slope") / 100.0, 4).alias("slope_per_month"),
+            round_det(F.col("intercept") / 100.0, 4).alias("intercept"),
+        )
+    )

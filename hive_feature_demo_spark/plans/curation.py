@@ -13,7 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
-from hive_feature_demo_spark.functions.numeric import sql_hex_to_int
+from hive_feature_demo_spark.functions.numeric import (
+    round_det,
+    sql_hex_to_int,
+    sql_round_det,
+)
 from hive_feature_demo_spark.operators import curation
 from hive_feature_demo_spark.operators.textops import word_tokens_regex
 from hive_feature_demo_spark.plans.registry import register
@@ -513,3 +517,56 @@ def q161_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("multiplicity") > 0)
     )
     return sel.select("doc_id", "wt", "multiplicity").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q309 — Efraimidis-Spirakis weighted sample (A-ES): each doc gets key
+# -ln(u)/w with a DETERMINISTIC md5 uniform u and weight w = token count;
+# the k smallest keys are a weighted sample WITHOUT replacement — each
+# doc's inclusion probability proportional to its weight among remaining
+# picks. Complements q161's systematic PPS (fixed-interval, needs the
+# global prefix sum): A-ES is ONE stateless map + top-k, mergeable
+# across partitions/streams (min-heap union), the form a 1000-executor
+# cluster or a Kafka consumer actually runs. u comes from 15 md5 hex
+# digits -> the identical 60-bit integer in both engines, so the keys —
+# and the sample — are hash-exact.
+# ---------------------------------------------------------------------------
+
+_AES_K = 50
+_AES_U_SQL = "(({h}) + 0.5) / 1152921504606846976.0"  # (h + .5) / 2^60
+
+
+@register(
+    "q309_weighted_sample_aes",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             {_SQL_NWORDTOK} AS w,
+             -ln({_AES_U_SQL.format(
+                 h=sql_hex_to_int("md5(CAST(doc_id AS VARCHAR))", "1", 15)
+             )}) / {_SQL_NWORDTOK} AS k
+      FROM documents
+      WHERE {_SQL_NWORDTOK} > 0
+    )
+    SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
+           {sql_round_det('k', 8)} AS aes_key
+    FROM keyed
+    ORDER BY {sql_round_det('k', 8)}, doc_id
+    LIMIT {_AES_K}
+    """,
+    category="curation",
+)
+def q309_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = F.size(word_tokens_regex("text")).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        round_det(-F.log(u) / w, 8).alias("aes_key"),
+    ).filter(F.col("weight") > 0)
+    return keyed.orderBy("aes_key", "doc_id").limit(_AES_K)

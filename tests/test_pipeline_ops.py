@@ -432,3 +432,66 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
     row = q307_hyperloglog_exact_replay(spark, sf_dir).first()
     assert abs(row["hll_estimate"] - est) < 1e-3
     assert row["registers_used"] == len(whole)
+
+
+def test_theil_sen_robust_to_outlier_month(spark, sf_dir):
+    """q308's point: a least-squares slope moves when one month is
+    corrupted by a huge outlier; the Theil-Sen median-of-slopes must not
+    (median of pairwise slopes has a 29% breakdown point)."""
+    from hive_feature_demo_spark.plans.audit_ops import q308_theil_sen_trend
+
+    base = q308_theil_sen_trend(spark, sf_dir).first()
+    assert base["n_pairs"] == base["n_months"] * (base["n_months"] - 1) // 2
+
+    # corrupt ONE month by 1000x via a doctored orders table on disk
+    import os
+    import tempfile
+
+    from hive_feature_demo_spark.catalog import table as _table
+
+    o = _table(spark, sf_dir, "orders")
+    first_month = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    target = o.select(F.min(first_month)).first()[0]
+    doctored = o.withColumn(
+        "o_totalprice",
+        F.when(first_month == target, F.col("o_totalprice") * 1000).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="q308_doctored_")
+    doctored.write.mode("overwrite").parquet(os.path.join(tmp, "orders.parquet"))
+    try:
+        spiked = q308_theil_sen_trend(spark, tmp).first()
+        # slope shift stays small relative to the injected distortion:
+        # the outlier month participates in (n-1) of n(n-1)/2 pairs, and
+        # the MEDIAN ignores those tails entirely unless they flood half
+        # the pairs (they cannot: (n-1) << n(n-1)/4 for n >= 6)
+        assert spiked["n_months"] == base["n_months"]
+        shift = abs(spiked["slope_per_month"] - base["slope_per_month"])
+        spread = abs(base["slope_per_month"]) + 1.0
+        assert shift <= 2.0 * spread, f"median slope moved too much: {shift}"
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp)
+
+
+def test_aes_sample_inclusion_tracks_weight(spark, sf_dir):
+    """q309: the A-ES key ordering must favor heavier docs — the mean
+    weight of the k sampled docs exceeds the corpus mean weight (PPS
+    behavior), and keys are deterministic across invocations."""
+    from hive_feature_demo_spark.catalog import table as _table
+    from hive_feature_demo_spark.operators.textops import word_tokens_regex
+    from hive_feature_demo_spark.plans.curation import q309_weighted_sample_aes
+
+    s1 = q309_weighted_sample_aes(spark, sf_dir).collect()
+    s2 = q309_weighted_sample_aes(spark, sf_dir).collect()
+    assert s1 == s2
+    sample_mean_w = sum(r["weight"] for r in s1) / len(s1)
+    corpus = (
+        _table(spark, sf_dir, "documents")
+        .select(F.size(word_tokens_regex("text")).alias("w"))
+        .agg(F.avg("w"))
+        .first()[0]
+    )
+    assert sample_mean_w > corpus
