@@ -318,6 +318,35 @@ _NLZ_CASE_SQL = (
 )
 
 
+def with_hll_reg_rank(df: DataFrame, key_col: str) -> DataFrame:
+    """Append the q307 HLL ``(reg, rank)`` columns derived from
+    md5(key) — shared with the streaming variant (q310) so batch and
+    stream sketch the identical registers. Pure column expressions (no
+    UDF); the temp md5 column is dropped before return."""
+    out = df.withColumn("_hll_h", F.md5(F.col(key_col).cast("string")))
+    stripped = F.expr("trim(LEADING '0' FROM substr(_hll_h, 3, 15))")
+    first_nz = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    nlz = (
+        F.when(first_nz >= 8, 0)
+        .when(first_nz >= 4, 1)
+        .when(first_nz >= 2, 2)
+        .otherwise(3)
+    )
+    return (
+        out.withColumn(
+            "reg",
+            F.conv(F.substring("_hll_h", 1, 2), 16, 10).cast("long") % _HLL_M,
+        )
+        .withColumn(
+            "rank",
+            F.when(stripped == "", F.lit(61))
+            .otherwise((F.lit(15) - F.length(stripped)) * 4 + nlz + 1),
+        )
+        .drop("_hll_h")
+    )
+
+
+
 @register(
     "q307_hyperloglog_exact_replay",
     oracle=f"""
@@ -363,23 +392,9 @@ _NLZ_CASE_SQL = (
 )
 def q307_hyperloglog_exact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    keyed = e.select(h.alias("h")).distinct()
-    h15 = F.expr("substr(h, 3, 15)")
-    stripped = F.expr("trim(LEADING '0' FROM substr(h, 3, 15))")
-    first_nz = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
-    nlz = (
-        F.when(first_nz >= 8, 0)
-        .when(first_nz >= 4, 1)
-        .when(first_nz >= 2, 2)
-        .otherwise(3)
-    )
-    ranked = keyed.select(
-        (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HLL_M).alias("reg"),
-        F.when(stripped == "", F.lit(61))
-        .otherwise((F.lit(15) - F.length(stripped)) * 4 + nlz + 1)
-        .alias("rank"),
-    )
+    ranked = with_hll_reg_rank(
+        e.select(F.col("user_id").cast("string").alias("k")).distinct(), "k"
+    ).select("reg", "rank")
     regs = ranked.groupBy("reg").agg(F.max("rank").alias("m"))
     agg = regs.agg(
         (F.lit(_HLL_M) - F.count("*")).cast("long").alias("v_empty"),

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
-from hive_feature_demo_spark.functions.numeric import sql_exact_sum
+from hive_feature_demo_spark.functions.numeric import sql_exact_sum, sql_hex_to_int
 from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 from hive_feature_demo_spark.plans.streaming_batch import (
@@ -490,4 +490,122 @@ def q212_stream_static_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_other_events", F.lit(0)).alias("n_other_events"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q310 — STREAMING windowed distinct-user estimate via the q307 HLL
+# registers, replayed through the real incremental engine: level 1 keeps
+# MAX(rank) per (hour window, register), level 2 folds the <= 64
+# registers per window into the estimate inputs — CHAINED stateful
+# aggregations (q193's pattern) in watermarked APPEND mode with the
+# flush sentinel. This is THE scalable streaming distinct: q194's exact
+# per-window dropDuplicates carries state proportional to true
+# cardinality, while this caps state at 64 cells per open window
+# whatever the traffic. Both levels evict with the watermark. The oracle
+# replays the identical register math per window in batch SQL, so the
+# ESTIMATES are hash-exact; exact distincts ride along from a batch scan
+# for the error column.
+# ---------------------------------------------------------------------------
+
+_HLL310_FIRSTNZ = sql_hex_to_int(
+    "ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '0')", "1", 1
+)
+
+
+@register(
+    "q310_streaming_hll_distinct",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS ws,
+             {sql_hex_to_int("md5(CAST(user_id AS VARCHAR))", "1", 2)} % 64 AS reg,
+             CASE WHEN ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '0') = ''
+                  THEN 61
+                  ELSE (15 - length(ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 15), '0'))) * 4
+                       + (CASE WHEN {_HLL310_FIRSTNZ} >= 8 THEN 0
+                               WHEN {_HLL310_FIRSTNZ} >= 4 THEN 1
+                               WHEN {_HLL310_FIRSTNZ} >= 2 THEN 2 ELSE 3 END) + 1
+             END AS rank
+      FROM events
+    ), regs AS (
+      SELECT ws, reg, MAX(rank) AS m FROM ranked GROUP BY ws, reg
+    ), agg AS (
+      SELECT ws, COUNT(*) AS used, SUM(power(2.0, -m)) AS s
+      FROM regs GROUP BY ws
+    ), est AS (
+      SELECT ws, used, 0.709 * 64 * 64 / (s + (64 - used)) AS raw FROM agg
+    ), fin AS (
+      SELECT ws, used,
+             CASE WHEN raw <= 160.0 AND used < 64
+                  THEN 64 * ln(64.0 / (64 - used)) ELSE raw END AS corrected
+      FROM est
+    ), exact AS (
+      SELECT date_trunc('hour', ts) AS ws, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(fin.ws, '{_TS_FMT_DUCK}') AS window_start,
+           exact.exact_distinct,
+           CAST(fin.used AS BIGINT) AS registers_used,
+           round(floor(fin.corrected * 10000 + 0.5) / 10000, 4) AS hll_estimate
+    FROM fin JOIN exact ON fin.ws = exact.ws
+    ORDER BY window_start
+    """,
+    category="streaming",
+)
+def q310_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.plans.sketch_ops import _HLL_ALPHA, _HLL_M, with_hll_reg_rank
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    events = _with_flush(spark, sf_dir, _streamed_events(spark, sf_dir))
+    ranked = with_hll_reg_rank(events, "user_id")
+    level1 = (
+        ranked.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "reg")
+        .agg(F.max("rank").alias("m"))
+    )
+    level2 = (
+        level1.groupBy(F.window(F.window_time("w"), "1 hour").alias("hw"))
+        .agg(
+            F.count("*").alias("used"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s"),
+        )
+        .select(
+            F.date_format(F.col("hw.start"), _TS_FMT).alias("window_start"),
+            "used",
+            "s",
+        )
+    )
+    name = f"q310_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(level2, name, output_mode="append")
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / (
+        F.col("s") + (F.lit(_HLL_M) - F.col("used"))
+    )
+    est = (
+        spark.table(name)
+        .withColumn("raw", raw)
+        .withColumn(
+            "corrected",
+            F.when(
+                (F.col("raw") <= 2.5 * _HLL_M) & (F.col("used") < _HLL_M),
+                F.lit(_HLL_M)
+                * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("used"))),
+            ).otherwise(F.col("raw")),
+        )
+    )
+    exact = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), _TS_FMT).alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, "window_start")  # inner join drops the sentinel window
+        .select(
+            "window_start",
+            "exact_distinct",
+            F.col("used").cast("long").alias("registers_used"),
+            F.round(F.floor(F.col("corrected") * 10000 + 0.5) / 10000, 4).alias(
+                "hll_estimate"
+            ),
+        )
+        .orderBy("window_start")
     )
