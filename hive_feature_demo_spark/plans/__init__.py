@@ -17,6 +17,7 @@ from hive_feature_demo_spark.plans import (  # noqa: F401  (import = register)
     relational,
     relational_ext,
     relational_more,
+    retrieval,
     segment,
     sketch_ops,
     sourcesink,
