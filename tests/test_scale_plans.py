@@ -546,3 +546,46 @@ def test_global_cumsum_skew_refinement(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_global_rank_skew_property(spark):
+    """Property: for ANY value distribution — including degenerate all-tie
+    lists — the refined grid's ranks equal the single-partition textbook
+    window, with a refinement threshold low enough to force the skew
+    path on most draws."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from hive_feature_demo_spark.operators.relational_ext import global_rank
+
+    # values drawn from a tiny alphabet -> heavy ties guaranteed
+    values = st.lists(
+        st.sampled_from([0.0, 1.0, 1.0, 1.0, 2.5, -3.0]), min_size=5, max_size=60
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(values)
+    def check(vs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vs)], "id long, v double"
+        ).repartition(5)
+        got = {
+            r["id"]: r["r"]
+            for r in global_rank(
+                df, ["v", "id"], rank_col="r", cells=4, max_cell_rows=6
+            ).collect()
+        }
+        want = {
+            r["id"]: r["r"]
+            for r in df.withColumn(
+                "r", F.row_number().over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want
+
+    check()
