@@ -76,6 +76,26 @@ def segment_id_for(filters: SegmentFilters, today: dt.date) -> str:
     return f"seg_{digest[:8]}"
 
 
+def cache_key_for(filters: SegmentFilters) -> str:
+    """Query-result cache key — the reference's Redis pattern
+    (SCALING.md:91-98: ``md5(json.dumps(filters, sort_keys=True))``),
+    with one engine-grade refinement: genres are lowercased AND sorted
+    and city lowercased BEFORE hashing. The predicates are
+    case-insensitive (A3/A6), so two spellings of the same audience are
+    the same query — hashing the raw filters (as the reference sketches)
+    would give them separate cache lines and silently halve hit rate."""
+    norm = SegmentFilters(
+        genres=tuple(sorted(g.lower() for g in filters.genres))
+        if filters.genres
+        else None,
+        min_months_since_purchase=filters.min_months_since_purchase,
+        max_months_since_purchase=filters.max_months_since_purchase,
+        min_total_spent=filters.min_total_spent,
+        city=filters.city.lower() if filters.city else None,
+    )
+    return hashlib.md5(norm.canonical_json().encode()).hexdigest()
+
+
 def build_predicate(filters: SegmentFilters, today: dt.date) -> Column:
     """A2: AND of all supplied filters; no filters -> TRUE (all rows pass)."""
     pred = F.lit(True)

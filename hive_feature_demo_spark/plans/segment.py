@@ -536,3 +536,83 @@ def q303_readme_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "segment_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# q313 — query-result cache consolidation (SCALING.md:91-98): five
+# audience requests, two PAIRS of which are the same query spelled
+# differently ("Jazz" vs "jazz"; genre order + city case flipped). The
+# canonical cache key (operators.segment.cache_key_for) maps each pair
+# to one key, the segment executes ONCE per distinct key (the cache-hit
+# behavior made visible as plan structure), and the report shows per key
+# which requests consolidated and what they share. The oracle recomputes
+# each distinct audience with a HANDWRITTEN WHERE clause and embeds the
+# python-computed keys as literals — key stability is part of the
+# contract (a canonicalization change breaks the hash).
+# ---------------------------------------------------------------------------
+
+_CACHE_REQS = (
+    (1, seg.SegmentFilters(genres=("jazz",), min_months_since_purchase=3)),
+    (2, seg.SegmentFilters(genres=("Jazz",), min_months_since_purchase=3)),
+    (3, seg.SegmentFilters(genres=("rock", "blues"), city="Chicago",
+                           min_total_spent=200)),
+    (4, seg.SegmentFilters(genres=("Blues", "ROCK"), city="chicago",
+                           min_total_spent=200)),
+    (5, seg.SegmentFilters(min_total_spent=500)),
+)
+
+_CACHE_KEYS = {rid: seg.cache_key_for(f) for rid, f in _CACHE_REQS}
+
+_CACHE_WHERE = {
+    _CACHE_KEYS[1]: "len(list_filter(genres, g -> lower(g) = 'jazz')) > 0"
+    f" AND {_NL_MONTHS} >= 3",
+    _CACHE_KEYS[3]: "len(list_filter(genres, g -> lower(g) IN ('blues', 'rock'))) > 0"
+    " AND lower(city) LIKE '%chicago%' AND total_spent >= 200",
+    _CACHE_KEYS[5]: "total_spent >= 500",
+}
+
+_CACHE_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT '{key}' AS cache_key,
+           CAST({sum(1 for r, f in _CACHE_REQS if _CACHE_KEYS[r] == key)} AS BIGINT)
+             AS n_requests,
+           '{",".join(str(r) for r, f in _CACHE_REQS if _CACHE_KEYS[r] == key)}'
+             AS request_ids,
+           COUNT(*) AS count
+    FROM read_parquet('{FANS_PARQUET}')
+    WHERE {where}"""
+    for key, where in sorted(_CACHE_WHERE.items())
+)
+
+
+@register(
+    "q313_segment_cache_keys",
+    oracle=f"""
+    SELECT * FROM (
+{_CACHE_ORACLE}
+    ) ORDER BY cache_key
+    """,
+    category="segment",
+)
+def q313_segment_cache_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fans = _fans(spark)
+    by_key: dict[str, list[int]] = {}
+    filters_by_key: dict[str, seg.SegmentFilters] = {}
+    for rid, f in _CACHE_REQS:
+        k = seg.cache_key_for(f)
+        by_key.setdefault(k, []).append(rid)
+        filters_by_key.setdefault(k, f)
+    out = None
+    # ONE execution per distinct key — the cache-consolidation behavior
+    for k in sorted(by_key):
+        stats = (
+            fans.filter(seg.build_predicate(filters_by_key[k], REF_TODAY))
+            .agg(F.count("*").alias("count"))
+            .select(
+                F.lit(k).alias("cache_key"),
+                F.lit(len(by_key[k])).cast("long").alias("n_requests"),
+                F.lit(",".join(map(str, by_key[k]))).alias("request_ids"),
+                "count",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.orderBy("cache_key")

@@ -248,3 +248,25 @@ def test_readme_front_door_chain(spark):
     assert row["audience_size"] > 0
     assert row["email_subject"] == "You're invited: New Orleans Jazz Festival"
     assert row["subject_ok"] and row["sms_ok"]
+
+
+def test_cache_key_canonicalization():
+    """Equivalent spellings of the same audience share one cache key;
+    semantically different filters never collide (SCALING.md's Redis
+    pattern with case/order normalization)."""
+    from hive_feature_demo_spark.operators.segment import SegmentFilters, cache_key_for
+
+    a = cache_key_for(SegmentFilters(genres=("jazz",), min_months_since_purchase=3))
+    b = cache_key_for(SegmentFilters(genres=("Jazz",), min_months_since_purchase=3))
+    assert a == b
+    c = cache_key_for(
+        SegmentFilters(genres=("rock", "blues"), city="Chicago", min_total_spent=200)
+    )
+    d = cache_key_for(
+        SegmentFilters(genres=("Blues", "ROCK"), city="chicago", min_total_spent=200)
+    )
+    assert c == d
+    assert len({a, c, cache_key_for(SegmentFilters(min_total_spent=500))}) == 3
+    # months value participates in the key (different recency = different query)
+    e = cache_key_for(SegmentFilters(genres=("jazz",), min_months_since_purchase=4))
+    assert e != a
