@@ -1168,3 +1168,59 @@ def q245_streaming_dynamic_gap_sessions(
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# q314 — sliding-window rate-limit audit (the engine-side view of
+# SCALING.md:105-117's Redis sliding-window limiter): for every event,
+# the count of that user's events in the trailing 1-hour window (RANGE
+# frame on event time — the exact sliding window, not hourly buckets),
+# then per user the PEAK trailing-hour rate and whether it ever exceeded
+# the limit. What a platform runs to size its rate limits before
+# enforcing them. Scale: one partitioned window per user ordered by
+# time; no self-join, no explode — the RANGE frame is state-bounded by
+# the hour horizon.
+# ---------------------------------------------------------------------------
+
+_RATE_LIMIT = 20
+
+
+@register(
+    "q314_rate_limit_audit",
+    oracle=f"""
+    WITH rated AS (
+      SELECT user_id,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS in_hour
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(in_hour) AS BIGINT) AS peak_hour_rate,
+           (MAX(in_hour) > {_RATE_LIMIT}) AS over_limit,
+           COUNT(*) AS n_events
+    FROM rated
+    GROUP BY user_id
+    ORDER BY peak_hour_rate DESC, user_id
+    LIMIT 25
+    """,
+    category="streaming",
+)
+def q314_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rated = e.withColumn("in_hour", F.count("*").over(w))
+    return (
+        rated.groupBy("user_id")
+        .agg(
+            F.max("in_hour").cast("long").alias("peak_hour_rate"),
+            (F.max("in_hour") > _RATE_LIMIT).alias("over_limit"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.desc("peak_hour_rate"), "user_id")
+        .limit(25)
+    )
