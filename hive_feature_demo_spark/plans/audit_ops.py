@@ -1508,7 +1508,7 @@ def q279_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # observed cells contribute (0-e)^2/e = e; without them chi2 is
     # understated while dof still assumes the full grid.
     cells = (
-        rt.crossJoin(ct)
+        rt.crossJoin(F.broadcast(ct))
         .join(F.broadcast(obs), ["lang", "source"], "left")
         .crossJoin(F.broadcast(n))
         .select(
@@ -2875,7 +2875,7 @@ def q295_chisq_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (F.col("r").cast("double") * F.col("c")) / F.col("total")
     resid = (F.col("o") - e) / F.sqrt(e)
     return (
-        rt.crossJoin(ct)
+        rt.crossJoin(F.broadcast(ct))
         .join(F.broadcast(obs), ["lang", "source"], "left")
         .crossJoin(F.broadcast(n))
         .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
