@@ -3734,3 +3734,138 @@ def q308_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det(F.col("intercept") / 100.0, 4).alias("intercept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q315 — EXACT Shapley-value channel attribution: credit each
+# non-purchase channel (click/error/signup/view) for conversions with
+# the game-theoretic attribution q166's positional heuristics
+# approximate. Characteristic function v(S) = number of converting
+# users whose full touched-channel set fits inside S (a user converts
+# only when all their touchpoints are enabled) — monotone and
+# deterministic. With n=4 channels the 16 subsets enumerate exactly and
+# every Shapley weight |S|!(n-1-|S|)!/n! has denominator 24, so credits
+# are computed as INTEGERS scaled by 24 — hash-exact, no float
+# marginals. Scale shape: the corpus reduces to <= 16 (mask ->
+# converter-count) rows in one grouped pass; the subset lattice and the
+# 32-row (channel, S, S+i) pair table are constants; everything after
+# the first agg is grid-sized. The efficiency property
+# (sum of credits == v(all) - v(empty)) is asserted in tests.
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")
+_SHAP_N = len(_SHAP_CHANNELS)
+_SHAP_BIT = {c: 1 << i for i, c in enumerate(_SHAP_CHANNELS)}
+
+
+def _shap_weight(s_size: int) -> int:
+    import math
+
+    return math.factorial(s_size) * math.factorial(_SHAP_N - 1 - s_size)
+
+
+#: (channel, mask_without, mask_with, integer weight) for every channel x
+#: subset-not-containing-it — 32 rows, embedded identically in both engines
+_SHAP_PAIRS = [
+    (c, s, s | _SHAP_BIT[c], _shap_weight(bin(s).count("1")))
+    for c in _SHAP_CHANNELS
+    for s in range(1 << _SHAP_N)
+    if not s & _SHAP_BIT[c]
+]
+
+_SHAP_PAIRS_SQL = ", ".join(f"('{c}', {a}, {b}, {w})" for c, a, b, w in _SHAP_PAIRS)
+
+_SHAP_MASK_SQL = " + ".join(
+    f"MAX(CASE WHEN event_type = '{c}' THEN {_SHAP_BIT[c]} ELSE 0 END)"
+    for c in _SHAP_CHANNELS
+)
+
+
+@register(
+    "q315_shapley_attribution",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             {_SHAP_MASK_SQL} AS mask,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    mask_counts AS (
+      SELECT mask, CAST(SUM(converted) AS BIGINT) AS conv
+      FROM per_user GROUP BY mask
+    ),
+    subsets AS (SELECT s FROM generate_series(0, {(1 << _SHAP_N) - 1}) g(s)),
+    v AS (
+      SELECT s.s AS mask, CAST(COALESCE(SUM(m.conv), 0) AS BIGINT) AS v
+      FROM subsets s
+      LEFT JOIN mask_counts m ON (m.mask & ~s.s) & {(1 << _SHAP_N) - 1} = 0
+      GROUP BY s.s
+    ),
+    pairs(channel, s_without, s_with, w) AS (VALUES {_SHAP_PAIRS_SQL})
+    SELECT p.channel,
+           CAST(SUM(p.w * (vw.v - vo.v)) AS BIGINT) AS credit_x24,
+           round(floor(CAST(SUM(p.w * (vw.v - vo.v)) AS DOUBLE)
+                 / 24.0 * 1000000 + 0.5) / 1000000, 6)
+             AS shapley_credit
+    FROM pairs p
+    JOIN v vo ON vo.mask = p.s_without
+    JOIN v vw ON vw.mask = p.s_with
+    GROUP BY p.channel
+    ORDER BY p.channel
+    """,
+    category="stats",
+)
+def q315_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    mask = None
+    for c in _SHAP_CHANNELS:
+        term = F.max(
+            F.when(F.col("event_type") == c, _SHAP_BIT[c]).otherwise(0)
+        )
+        mask = term if mask is None else mask + term
+    per_user = e.groupBy("user_id").agg(
+        mask.alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    mask_counts = per_user.groupBy("mask").agg(
+        F.sum("converted").cast("long").alias("conv")
+    )  # <= 16 rows
+    full = (1 << _SHAP_N) - 1
+    subsets = spark.range(0, 1 << _SHAP_N).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(mask_counts),
+            # mask & complement(s) == 0, i.e. mask fits inside s; for
+            # s <= full the complement within the lattice is full - s
+            (F.col("mask").bitwiseAND(F.lit(full) - F.col("s"))) == 0,
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    pairs = spark.createDataFrame(
+        _SHAP_PAIRS, "channel string, s_without int, s_with int, w long"
+    )
+    import math
+
+    n_fact = math.factorial(_SHAP_N)
+    vo = v.select(F.col("s").alias("s_without"), F.col("v").alias("v_without"))
+    vw = v.select(F.col("s").alias("s_with"), F.col("v").alias("v_with"))
+    credit = F.sum(F.col("w") * (F.col("v_with") - F.col("v_without"))).cast("long")
+    return (
+        pairs.join(F.broadcast(vo), "s_without")
+        .join(F.broadcast(vw), "s_with")
+        .groupBy("channel")
+        .agg(
+            credit.alias("credit_x24"),
+            F.round(
+                F.floor(credit.cast("double") / n_fact * 1_000_000 + 0.5)
+                / 1_000_000,
+                6,
+            ).alias("shapley_credit"),
+        )
+        .orderBy("channel")
+    )

@@ -623,3 +623,26 @@ def test_kappa_consistent_with_accuracy(spark):
     assert -1.0 - 1e-9 <= r["kappa"] <= 1.0 + 1e-9
     # kappa sign agrees with (po - pe)
     assert (r["kappa"] >= 0) == (r["po"] >= r["pe"])
+
+
+def test_shapley_efficiency_property(spark, sf_dir):
+    """q315: Shapley credits must satisfy efficiency — the credits sum
+    exactly to v(all channels) - v(empty): total conversions attributable
+    to any channel exposure. Integer space (x24), so equality is exact."""
+    from pyspark.sql import functions as F
+
+    from hive_feature_demo_spark.catalog import table
+    from hive_feature_demo_spark.plans.audit_ops import q315_shapley_attribution
+
+    rows = q315_shapley_attribution(spark, sf_dir).collect()
+    assert sorted(r["channel"] for r in rows) == ["click", "error", "signup", "view"]
+    total_credit_x24 = sum(r["credit_x24"] for r in rows)
+
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+        F.max(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias("touched"),
+    )
+    v_full = per_user.filter("conv = 1").count()  # every touched-set fits in N
+    v_empty = per_user.filter("conv = 1 AND touched = 0").count()
+    assert total_credit_x24 == 24 * (v_full - v_empty)
