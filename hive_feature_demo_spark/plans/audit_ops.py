@@ -3869,3 +3869,232 @@ def q315_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q316 — split-conformal interval calibration for the seasonal-naive
+# forecaster (q282's lag-7 predictor made deployable): residuals on a
+# CALIBRATION window (first 12 scored days) yield the distribution-free
+# 90% radius q_hat = the ceil(0.9*(n+1))-th smallest |residual|; the
+# EVAL window (remaining days) then measures empirical coverage of
+# pred ± q_hat. The standard finite-sample-valid uncertainty wrapper
+# for any point forecaster — no distributional assumption, exact
+# positional quantile (value-and-day tie-broken), coverage in integer
+# basis points. All computation on the bounded (event_type x day) grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q316_conformal_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {sql_round_det(sql_exact_sum("value"), 6)} AS rev
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    d0 AS (SELECT MIN(day) AS d0 FROM daily),
+    scored AS (
+      SELECT a.event_type, a.day, abs(a.rev - p.rev) AS absr
+      FROM daily a
+      JOIN daily p ON a.event_type = p.event_type AND a.day = p.day + 7
+    ),
+    cal AS (
+      SELECT s.event_type, s.absr,
+             ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                ORDER BY s.absr, s.day) AS rn,
+             COUNT(*) OVER (PARTITION BY s.event_type) AS n_cal
+      FROM scored s CROSS JOIN d0
+      WHERE s.day < d0.d0 + 19
+    ),
+    qhat AS (
+      SELECT event_type, n_cal, absr AS q_hat
+      FROM cal WHERE rn = CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT)
+    ),
+    ev AS (
+      SELECT s.event_type, s.absr FROM scored s CROSS JOIN d0
+      WHERE s.day >= d0.d0 + 19
+    )
+    SELECT q.event_type,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           COUNT(*) AS n_eval,
+           {sql_round_det('q.q_hat', 6)} AS q_hat,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN ev.absr <= q.q_hat
+                                         THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+             AS coverage_bp
+    FROM qhat q JOIN ev ON ev.event_type = q.event_type
+    GROUP BY q.event_type, q.n_cal, q.q_hat
+    ORDER BY q.event_type
+    """,
+    category="stats",
+)
+def q316_conformal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        round_det(F.sum(F.col("value").cast(_DEC)).cast("double"), 6).alias("rev")
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    a = daily.select("event_type", "day", F.col("rev").alias("actual"))
+    p = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("rev").alias("pred")
+    )
+    scored = (
+        a.join(p, ["event_type", "day"])
+        .crossJoin(F.broadcast(d0))
+        .select(
+            "event_type",
+            "day",
+            "d0",
+            F.abs(F.col("actual") - F.col("pred")).alias("absr"),
+        )
+    )
+    wcal = Window.partitionBy("event_type").orderBy("absr", "day")
+    cal = (
+        scored.filter(F.col("day") < F.date_add("d0", 19))
+        .withColumn("rn", F.row_number().over(wcal))
+        .withColumn("n_cal", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    qhat = cal.filter(
+        F.col("rn") == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
+    ).select("event_type", "n_cal", F.col("absr").alias("q_hat"))
+    ev = scored.filter(F.col("day") >= F.date_add("d0", 19)).select(
+        "event_type", "absr"
+    )
+    return (
+        qhat.join(ev, "event_type")
+        .groupBy("event_type", "n_cal", "q_hat")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("absr") <= F.col("q_hat"), 1).otherwise(0))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+        .select(
+            "event_type",
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_eval",
+            round_det(F.col("q_hat"), 6).alias("q_hat"),
+            "coverage_bp",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q317 — population stability index (PSI) of order value, first half of
+# the date range vs second: THE industry drift screen for a deployed
+# model's input distribution (PSI < 0.1 stable, 0.1-0.25 shifting,
+# > 0.25 retrain). Ten fixed-width bins over the global value range
+# (deterministic grid, no quantile estimation), Laplace +0.5 smoothing
+# so empty bins contribute finitely, per-bin contributions
+# (pA - pB) * ln(pA / pB) emitted as data. The fact reduces to 10 bins x
+# 2 halves in one grouped pass; the grid min/max is a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+@register(
+    "q317_psi_value_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+             MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST({_PSI_BINS - 1}, GREATEST(0, CAST(FLOOR(
+               (o.o_totalprice - b.lo) / ((b.hi - b.lo) / {_PSI_BINS}.0)
+             ) AS INT))) AS bin,
+             CASE WHEN o.o_orderdate < b.d0
+                       + CAST(FLOOR(date_diff('day', b.d0, b.d1) / 2) AS INT)
+                       * INTERVAL 1 DAY
+                  THEN 1 ELSE 2 END AS half
+      FROM orders o CROSS JOIN bounds b
+    ),
+    cells AS (
+      SELECT g.b AS bin,
+             CAST(COALESCE(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_first,
+             CAST(COALESCE(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_second
+      FROM generate_series(0, {_PSI_BINS - 1}) g(b)
+      LEFT JOIN binned ON binned.bin = g.b
+      GROUP BY g.b
+    ),
+    tot AS (
+      SELECT SUM(n_first) AS t1, SUM(n_second) AS t2 FROM cells
+    ),
+    shares AS (
+      SELECT bin, n_first, n_second,
+             (n_first + 0.5) / (t1 + 0.5 * {_PSI_BINS}) AS p1,
+             (n_second + 0.5) / (t2 + 0.5 * {_PSI_BINS}) AS p2
+      FROM cells CROSS JOIN tot
+    )
+    SELECT bin, n_first, n_second,
+           {sql_round_det("(p1 - p2) * ln(p1 / p2)", 6)} AS psi_contrib
+    FROM shares
+    ORDER BY bin
+    """,
+    category="stats",
+)
+def q317_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.min("o_orderdate").alias("d0"),
+        F.max("o_orderdate").alias("d1"),
+    )
+    step = (F.col("hi") - F.col("lo")) / float(_PSI_BINS)
+    pivot = F.date_add(
+        F.col("d0"),
+        F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int"),
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("o_totalprice") - F.col("lo")) / step).cast("int"),
+            ),
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < pivot.cast("timestamp"), 1)
+        .otherwise(2)
+        .alias("half"),
+    )
+    grid = spark.range(0, _PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    cells = (
+        grid.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_first"),
+            F.coalesce(
+                F.sum(F.when(F.col("half") == 2, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_second"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n_first").alias("t1"), F.sum("n_second").alias("t2")
+    )
+    p1 = (F.col("n_first") + 0.5) / (F.col("t1") + 0.5 * _PSI_BINS)
+    p2 = (F.col("n_second") + 0.5) / (F.col("t2") + 0.5 * _PSI_BINS)
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_first",
+            "n_second",
+            round_det((p1 - p2) * F.log(p1 / p2), 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )

@@ -646,3 +646,32 @@ def test_shapley_efficiency_property(spark, sf_dir):
     v_full = per_user.filter("conv = 1").count()  # every touched-set fits in N
     v_empty = per_user.filter("conv = 1 AND touched = 0").count()
     assert total_credit_x24 == 24 * (v_full - v_empty)
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """q316: split-conformal guarantees coverage >= 90% in expectation;
+    on a finite eval window it should land within sampling noise, and
+    q_hat must be a real calibration residual (positive, finite)."""
+    from hive_feature_demo_spark.plans.audit_ops import q316_conformal_backtest
+
+    rows = q316_conformal_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["q_hat"] > 0
+        assert 0 <= r["coverage_bp"] <= 10000
+    # average across types near the 90% target (finite-sample slack)
+    mean_cov = sum(r["coverage_bp"] for r in rows) / len(rows)
+    assert mean_cov >= 7000, f"coverage collapsed: {mean_cov}"
+
+
+def test_psi_contributions_nonnegative_and_total(spark, sf_dir):
+    """q317: every PSI contribution (p1-p2)*ln(p1/p2) is >= 0 by
+    construction (same sign factors), and all bins are present."""
+    from hive_feature_demo_spark.plans.audit_ops import q317_psi_value_drift
+
+    rows = q317_psi_value_drift(spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    for r in rows:
+        assert r["psi_contrib"] >= -1e-9
+    total = sum(r["psi_contrib"] for r in rows)
+    assert 0 <= total < 25.0  # PSI of a sane split is finite and small
