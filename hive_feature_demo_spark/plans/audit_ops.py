@@ -27,6 +27,7 @@ from hive_feature_demo_spark.functions.numeric import (
     round_det,
     sql_exact_sum,
     sql_exact_sum_fixed,
+    sql_hex_to_int,
     sql_round_det,
 )
 from hive_feature_demo_spark.scratch import scratch_dir
@@ -4097,4 +4098,138 @@ def q317_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_det((p1 - p2) * F.log(p1 / p2), 6).alias("psi_contrib"),
         )
         .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318 — Poisson-bootstrap confidence interval for mean order value: THE
+# distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams") — classical resampling needs a global sample of
+# n rows per replicate, impossible at 100 TB; the Poisson approximation
+# gives every row an independent Poisson(1) weight per replicate, so all
+# B replicates compute in ONE pass over the fact with a 40x column
+# fan-out and a 40-group aggregate. Weights come from md5(order, b)
+# uniforms through the exact Poisson(1) inverse-CDF CASE ladder —
+# deterministic in both engines; replicate means use exact cents.
+# CI = positional 2.5%/97.5% replicate means (k_lo = ceil(.025 B),
+# k_hi = floor(.975 B); B = 40 -> ranks 1 and 39).
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 40
+#: P(Poisson(1) <= k) for k = 0..8, rounded to 9 dp — identical literals
+#: in both engines so the inverse-CDF draw is exact
+_POIS_CDF = (
+    0.367879441, 0.735758882, 0.919698603, 0.981011843, 0.996340153,
+    0.999405815, 0.999916758, 0.999989750, 0.999998874,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} <= {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 9 END"
+
+
+@register(
+    "q318_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT b FROM generate_series(0, {_BOOT_B - 1}) g(b)),
+    weighted AS (
+      SELECT r.b,
+             {_pois_case_sql(
+                 "(" + sql_hex_to_int(
+                     "md5(CAST(o.o_orderkey AS VARCHAR) || '_' || CAST(r.b AS VARCHAR))",
+                     "1", 15,
+                 ) + " + 0.5) / 1152921504606846976.0"
+             )} AS w,
+             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN reps r
+    ),
+    means AS (
+      SELECT b,
+             CAST(SUM(w * cents) AS DOUBLE) / (100.0 * SUM(w)) AS m
+      FROM weighted GROUP BY b HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn, COUNT(*) OVER () AS nb
+      FROM means
+    ),
+    point AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (100.0 * COUNT(*)) AS mean_value
+      FROM orders
+    )
+    SELECT point.n_rows,
+           {sql_round_det('point.mean_value', 6)} AS mean_value,
+           {sql_round_det(
+               "(SELECT m FROM ranked WHERE rn = CAST(ceil(0.025 * nb) AS BIGINT))",
+               6,
+           )} AS boot_lo,
+           {sql_round_det(
+               "(SELECT m FROM ranked WHERE rn = CAST(floor(0.975 * nb) AS BIGINT))",
+               6,
+           )} AS boot_hi,
+           (SELECT CAST(nb AS BIGINT) FROM ranked LIMIT 1) AS n_replicates
+    FROM point
+    """,
+    category="stats",
+)
+def q318_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    reps = spark.range(0, _BOOT_B).select(F.col("id").cast("int").alias("b"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    w = F.lit(9)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u <= _POIS_CDF[k], k).otherwise(w)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    weighted = o.crossJoin(F.broadcast(reps)).select(
+        "b", w.alias("w"), cents.alias("cents")
+    )
+    means = (
+        weighted.groupBy("b")
+        .agg(F.sum(F.col("w") * F.col("cents")).alias("swc"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("b", (F.col("swc").cast("double") / (100.0 * F.col("sw"))).alias("m"))
+    )
+    # B=40 rows: positional CI via a bounded window
+    ranked = means.withColumn(
+        "rn", F.row_number().over(Window.orderBy("m", "b"))
+    ).withColumn("nb", F.count("*").over(Window.partitionBy()))
+    lo = ranked.filter(
+        F.col("rn") == F.ceil(0.025 * F.col("nb")).cast("long")
+    ).select(F.col("m").alias("lo"))
+    hi = ranked.filter(
+        F.col("rn") == F.floor(0.975 * F.col("nb")).cast("long")
+    ).select(F.col("m").alias("hi"))
+    nb = ranked.agg(F.max("nb").cast("long").alias("n_replicates"))
+    point = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(cents).cast("double") / (100.0 * F.count("*"))).alias("mean_value"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_rows",
+            round_det(F.col("mean_value"), 6).alias("mean_value"),
+            round_det(F.col("lo"), 6).alias("boot_lo"),
+            round_det(F.col("hi"), 6).alias("boot_hi"),
+            "n_replicates",
+        )
     )

@@ -675,3 +675,14 @@ def test_psi_contributions_nonnegative_and_total(spark, sf_dir):
         assert r["psi_contrib"] >= -1e-9
     total = sum(r["psi_contrib"] for r in rows)
     assert 0 <= total < 25.0  # PSI of a sane split is finite and small
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark, sf_dir):
+    """q318: the percentile CI must bracket the point estimate, use all
+    40 replicates, and have positive finite width."""
+    from hive_feature_demo_spark.plans.audit_ops import q318_poisson_bootstrap_ci
+
+    r = q318_poisson_bootstrap_ci(spark, sf_dir).first()
+    assert r["n_replicates"] == 40
+    assert r["boot_lo"] <= r["mean_value"] <= r["boot_hi"]
+    assert 0 < r["boot_hi"] - r["boot_lo"] < r["mean_value"]  # sane width
