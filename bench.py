@@ -228,6 +228,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     _run_suite(spark, HEADLINE, sf_dir, runs, timings, errors)
+    headline_errors = dict(errors)  # only these decide the exit code
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -267,7 +268,9 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
-    if errors:
+    # scale-2 problems are recorded in the JSON but must not fail the
+    # bench — the headline suite is the driver's contract
+    if headline_errors:
         raise SystemExit(1)
 
 
