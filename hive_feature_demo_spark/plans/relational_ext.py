@@ -947,3 +947,165 @@ def q167_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q319 — percent_rank + nth_value, completing the window-function surface
+# (q57 covers rank/dense_rank/ntile/cume_dist; q143 covers IGNORE-NULLS
+# first/last): per order priority, each of the top-20 orders with its
+# exact percent_rank among ALL the priority's orders and the partition's
+# 2nd/3rd-highest prices via full-frame nth_value. percent_rank =
+# (rank-1)/(n-1) is exact rational -> identical doubles; ordering ties
+# broken by key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q319_percent_rank_nth_value",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             PERCENT_RANK() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                        o_orderkey) AS pr,
+             NTH_VALUE(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 2) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                        o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_cents,
+             NTH_VALUE(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 3) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                        o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS third_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+                        o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(cents AS DOUBLE) / 100.0 AS price,
+           round(floor(pr * 1000000 + 0.5) / 1000000, 6) AS pct_rank,
+           CAST(second_cents AS DOUBLE) / 100.0 AS second_highest,
+           CAST(third_cents AS DOUBLE) / 100.0 AS third_highest
+    FROM ranked
+    WHERE rn <= 20
+    ORDER BY o_orderpriority, rn
+    """,
+    category="relational",
+)
+def q319_percent_rank_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cents"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        o.select("o_orderpriority", "o_orderkey", cents.alias("cents"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("second_cents", F.nth_value("cents", 2).over(wfull))
+        .withColumn("third_cents", F.nth_value("cents", 3).over(wfull))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.filter(F.col("rn") <= 20)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            (F.col("cents").cast("double") / 100.0).alias("price"),
+            F.round(F.floor(F.col("pr") * 1_000_000 + 0.5) / 1_000_000, 6).alias(
+                "pct_rank"
+            ),
+            (F.col("second_cents").cast("double") / 100.0).alias("second_highest"),
+            (F.col("third_cents").cast("double") / 100.0).alias("third_highest"),
+        )
+        .orderBy("o_orderpriority", F.desc("price"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q320 — map-typed higher-order functions (the last uncovered Spark SQL
+# function family: map_from_entries / map_zip_with / map_filter /
+# transform_values): per user, a MAP of event_type -> count zipped with
+# a MAP of event_type -> exact value cents, filtered to active types
+# (count >= 3), values tiered, then exploded back to rows. The oracle
+# restates the semantics relationally (maps are plan-internal — the
+# OUTPUT is the contract); map entries are built from array_sort'ed
+# structs so map iteration order never leaks into results.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q320_map_higher_order",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           CASE WHEN COUNT(*) >= 10 THEN 'heavy'
+                WHEN COUNT(*) >= 5 THEN 'regular'
+                ELSE 'light' END AS tier
+    FROM events
+    WHERE user_id < 50
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 3
+    ORDER BY user_id, event_type
+    """,
+    category="relational",
+)
+def q320_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.catalog import table as _table
+
+    e = _table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_type = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"), F.sum(cents).alias("c")
+    )
+    # two maps per user, entries sorted by key for deterministic layout
+    maps = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m_n"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "c")))
+        ).alias("m_c"),
+    )
+    zipped = maps.select(
+        "user_id",
+        F.map_zip_with(
+            "m_n", "m_c", lambda k, n, c: F.struct(n.alias("n"), c.alias("c"))
+        ).alias("m"),
+    )
+    active = zipped.select(
+        "user_id", F.map_filter("m", lambda k, v: v["n"] >= 3).alias("m")
+    )
+    tiered = active.select(
+        "user_id",
+        F.transform_values(
+            "m",
+            lambda k, v: F.struct(
+                v["n"].alias("n"),
+                v["c"].alias("c"),
+                F.when(v["n"] >= 10, "heavy")
+                .when(v["n"] >= 5, "regular")
+                .otherwise("light")
+                .alias("tier"),
+            ),
+        ).alias("m"),
+    )
+    return (
+        tiered.select("user_id", F.explode("m").alias("event_type", "v"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("v.n").alias("n_events"),
+            F.col("v.c").cast("long").alias("cents"),
+            F.col("v.tier").alias("tier"),
+        )
+        .orderBy("user_id", "event_type")
+    )
