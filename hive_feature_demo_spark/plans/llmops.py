@@ -1102,3 +1102,120 @@ def q304_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# q321 — LSH banding-theory calibration: for every shingle-sharing doc
+# pair, its exact 3-gram Jaccard (inverted-index counts, never
+# all-pairs) and whether the MinHash banding (16 perms, 4 bands x 4
+# rows) actually put the pair in a shared bucket; per 0.1-wide Jaccard
+# bucket, the empirical detection share vs the theoretical S-curve
+# P(detect | s) = 1 - (1 - s^4)^4 at the bucket midpoint. THE
+# calibration a dedup deployment runs before trusting a banding config:
+# if the empirical column sags under the theory column, the permutation
+# family is broken; if the low-s buckets light up, the verify filter is
+# mis-thresholded. Detection flags are exact integers; theory values
+# are literals — hash-exact end to end.
+# ---------------------------------------------------------------------------
+
+_Q321_THEORY = {
+    b: 1.0 - (1.0 - ((b + 0.5) / 10.0) ** 4) ** 4 for b in range(10)
+}
+_Q321_THEORY_SQL = " ".join(
+    f"WHEN jb = {b} THEN {int(v * 10000)}" for b, v in _Q321_THEORY.items()
+)
+
+
+@register(
+    "q321_lsh_banding_calibration",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    buckets AS (
+{_BUCKETS_SQL}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bd = b.bd AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             LEAST(9, CAST(FLOOR(10.0 * c.nc / (sa.ns + sb.ns - c.nc)) AS INT))
+               AS jb,
+             CASE WHEN cd.id_a IS NOT NULL THEN 1 ELSE 0 END AS detected
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      LEFT JOIN cands cd ON cd.id_a = c.id_a AND cd.id_b = c.id_b
+    )
+    SELECT jb AS jaccard_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(detected) AS BIGINT) AS n_detected,
+           CAST(FLOOR(10000.0 * SUM(detected) / COUNT(*)) AS BIGINT)
+             AS detect_bps,
+           CAST(CASE {_Q321_THEORY_SQL} END AS BIGINT) AS theory_bps
+    FROM scored
+    GROUP BY jb
+    ORDER BY jb
+    """,
+    category="llmops",
+)
+def q321_lsh_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.shingle_index(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures_from_index(sh, "doc_id", 16)
+    cands = dedup.lsh_candidate_pairs(sig, "doc_id", bands=4, rows=4).withColumn(
+        "detected_flag", F.lit(1)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("ns").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("ns").alias("nb"))
+    jb = F.least(
+        F.lit(9),
+        F.floor(
+            10.0 * F.col("nc") / (F.col("na") + F.col("nb") - F.col("nc"))
+        ).cast("int"),
+    )
+    scored = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(cands, ["id_a", "id_b"], "left")
+        .select(
+            jb.alias("jb"),
+            F.coalesce("detected_flag", F.lit(0)).alias("detected"),
+        )
+    )
+    theory = F.lit(None).cast("long")
+    expr = None
+    for bkt, v in _Q321_THEORY.items():
+        c = F.when(F.col("jaccard_bucket") == bkt, F.lit(int(v * 10000)))
+        expr = c if expr is None else expr.when(
+            F.col("jaccard_bucket") == bkt, F.lit(int(v * 10000))
+        )
+    return (
+        scored.groupBy(F.col("jb").alias("jaccard_bucket"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("detected").cast("long").alias("n_detected"),
+            F.floor(10000.0 * F.sum("detected") / F.count("*"))
+            .cast("long")
+            .alias("detect_bps"),
+        )
+        .withColumn("theory_bps", expr.cast("long"))
+        .orderBy("jaccard_bucket")
+    )
