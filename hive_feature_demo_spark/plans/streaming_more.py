@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hive_feature_demo_spark.catalog import table
 from hive_feature_demo_spark.functions.numeric import sql_exact_sum, sql_hex_to_int
+from hive_feature_demo_spark.functions.temporal import epoch_micros
 from hive_feature_demo_spark.scratch import scratch_dir
 from hive_feature_demo_spark.plans.registry import register
 from hive_feature_demo_spark.plans.streaming_batch import (
@@ -608,4 +609,122 @@ def q310_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q322 — STREAMING SCD-2 point-in-time enrichment: the events stream
+# joins the customer dimension's version VALID AT EVENT TIME (validity
+# windows split at the midpoint of the event range; the second version
+# rotates the segment), so an event early in the stream and a late one
+# from the same user enrich differently — the real slowly-changing-
+# dimension semantics every streaming warehouse needs, vs q108's
+# timeless dimension. The join stays stream-static (dimension broadcast
+# per micro-batch) with an equi key + validity-range filter; totals come
+# out as watermarked append hour-window partials + batch rollup (the
+# q108 r5 pattern). The oracle rebuilds the same two-version dimension
+# relationally and replays the as-of match.
+# ---------------------------------------------------------------------------
+
+#: alphabetical rotation of the five TPC-H segments (version-2 value)
+_SCD2_ROT = {
+    "AUTOMOBILE": "BUILDING",
+    "BUILDING": "FURNITURE",
+    "FURNITURE": "HOUSEHOLD",
+    "HOUSEHOLD": "MACHINERY",
+    "MACHINERY": "AUTOMOBILE",
+}
+_SCD2_ROT_SQL = (
+    "CASE c_mktsegment "
+    + " ".join(f"WHEN '{a}' THEN '{b}'" for a, b in _SCD2_ROT.items())
+    + " END"
+)
+
+
+@register(
+    "q322_streaming_scd2_enrichment",
+    oracle=f"""
+    WITH bounds AS (
+      -- integer-microsecond midpoint: floor division in BOTH engines so
+      -- boundary events classify identically
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us
+      FROM events
+    ),
+    enriched AS (
+      SELECT CASE WHEN epoch_us(e.ts) < b.mid_us THEN c.c_mktsegment
+                  ELSE {_SCD2_ROT_SQL} END AS segment,
+             e.value
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      CROSS JOIN bounds b
+    )
+    SELECT segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS total_value
+    FROM enriched
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    category="streaming",
+)
+def q322_streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.streaming import ops as sops
+
+    import datetime as dt
+
+    # version boundary from parquet footer stats (metadata-only read);
+    # integer-microsecond midpoint so both engines floor identically
+    t0, t1 = (
+        table(spark, sf_dir, "events").agg(F.min("ts"), F.max("ts")).first()
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    # exact integer microseconds (timedelta floor-div, no float rounding)
+    mid_us = ((t0 - epoch) // us + (t1 - epoch) // us) // 2
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rot = F.col("c_mktsegment")
+    expr = None
+    for a, b in _SCD2_ROT.items():
+        c = F.when(F.col("c_mktsegment") == a, b)
+        expr = c if expr is None else expr.when(F.col("c_mktsegment") == a, b)
+    v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(-(2**62)).alias("valid_from_us"),
+        F.lit(mid_us).alias("valid_to_us"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        expr.alias("segment"),
+        F.lit(mid_us).alias("valid_from_us"),
+        F.lit(2**62).alias("valid_to_us"),
+    )
+    scd = v1.unionByName(v2)
+
+    events = sops.with_flush_sentinel(spark, sf_dir, _streamed_events(spark, sf_dir))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    enriched = (
+        events.withWatermark("ts", "30 minutes")
+        .join(
+            F.broadcast(scd),
+            (F.col("user_id") == F.col("c_custkey"))
+            & (epoch_micros(F.col("ts")) >= F.col("valid_from_us"))
+            & (epoch_micros(F.col("ts")) < F.col("valid_to_us")),
+        )
+    )
+    partials = enriched.groupBy(
+        F.window("ts", "1 hour").alias("w"), "segment"
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("cents"))
+    name = f"q322_out_{next(_STREAM_RUN_SEQ)}"
+    sops.run_to_memory(partials, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("segment")
     )
