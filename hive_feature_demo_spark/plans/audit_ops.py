@@ -4233,3 +4233,111 @@ def q318_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q323 — Markov next-event predictor backtest: train per-type transition
+# counts on the FIRST half of the event range (argmax next type,
+# alphabetical tie-break), measure top-1 accuracy on transitions in the
+# SECOND half — the train/eval discipline q299's stationary analysis
+# lacks, and the sanity check before anyone ships "next action"
+# heuristics. Transitions from a per-user lead() over event time; both
+# halves split at the exact integer-microsecond midpoint (q322's
+# convention). Everything reduces to the |types|^2 transition grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q323_markov_backtest",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_us
+      FROM events
+    ),
+    train AS (
+      SELECT s.event_type AS cur, s.next_type AS nxt, COUNT(*) AS n
+      FROM seq s CROSS JOIN bounds b
+      WHERE s.next_type IS NOT NULL AND s.next_us < b.mid_us
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT cur, nxt AS predicted FROM (
+        SELECT cur, nxt, ROW_NUMBER() OVER (
+                 PARTITION BY cur ORDER BY n DESC, nxt) AS rk
+        FROM train
+      ) WHERE rk = 1
+    ),
+    eval_t AS (
+      SELECT s.event_type AS cur, s.next_type AS actual
+      FROM seq s CROSS JOIN bounds b
+      WHERE s.next_type IS NOT NULL AND s.ts_us >= b.mid_us
+    )
+    SELECT e.cur AS event_type, p.predicted,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(CASE WHEN e.actual = p.predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(FLOOR(10000.0 * SUM(CASE WHEN e.actual = p.predicted
+                                         THEN 1 ELSE 0 END) / COUNT(*)) AS BIGINT)
+             AS accuracy_bp
+    FROM eval_t e JOIN pred p ON p.cur = e.cur
+    GROUP BY e.cur, p.predicted
+    ORDER BY e.cur
+    """,
+    category="stats",
+)
+def q323_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+
+    e = table(spark, sf_dir, "events")
+    b = e.agg(
+        ((epoch_micros(F.min("ts")) + epoch_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        epoch_micros(F.col("ts")).alias("ts_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(epoch_micros(F.col("ts"))).over(w).alias("next_us"),
+    ).crossJoin(F.broadcast(b))
+    train = (
+        seq.filter(F.col("next_type").isNotNull() & (F.col("next_us") < F.col("mid_us")))
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        train.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    ev = seq.filter(
+        F.col("next_type").isNotNull() & (F.col("ts_us") >= F.col("mid_us"))
+    ).select(F.col("event_type").alias("cur"), F.col("next_type").alias("actual"))
+    return (
+        ev.join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.floor(
+                10000.0
+                * F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("accuracy_bp"),
+        )
+        .orderBy("event_type")
+    )
