@@ -111,14 +111,21 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
     Key columns are offset per copy so FK joins keep their selectivity
     (orders↔lineitem share the same orderkey offset; events shift
     user_id so stream-stream attribution pairs scale ×10, not ×100);
-    document text gets a per-copy deterministic word SHUFFLE (md5-keyed
-    sort) so copies share vocabulary but not 3-gram shingles — the
-    near-dup rate stays at the corpus's natural level. (A rotation would
-    NOT work: it preserves every consecutive triple except the seam, so
-    each doc would gain 9 true near-duplicates and LSH bucket pairs
-    would scale ×100.) Dimensions (region..customer) pass through
-    unchanged so broadcast-vs-shuffle decisions face the same dimension
-    sizes with a 10× fact side — exactly the 100 TB shape in miniature.
+    document text gets a per-copy BIJECTIVE TOKEN RENAME (every token t
+    in copy i>0 becomes "t·i", "·" = a char absent from the corpus): a
+    bijection on tokens maps each copy's shingle sets bijectively, so
+    every within-copy Jaccard value — and hence the near-dup pair set —
+    is EXACTLY the base corpus's, per copy, while cross-copy shingle
+    overlap is zero. The true near-dup workload therefore scales ×10
+    like everything else. (r5 used an md5-keyed word SHUFFLE instead;
+    the r6 stage profile showed that preserves the bag of words, so
+    short/repetitive docs stayed near-identical across copies: 276
+    candidate pairs at 1× became 2.8M at ×10 — a 10,000× workload
+    explosion measured as "q86 scales badly". A rotation would NOT work
+    either: it preserves every consecutive triple except the seam.)
+    Dimensions (region..customer) pass through unchanged so
+    broadcast-vs-shuffle decisions face the same dimension sizes with a
+    10× fact side — exactly the 100 TB shape in miniature.
     """
     from pyspark.sql import functions as F
 
@@ -173,21 +180,15 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
 
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
 
-    def shuffle_text(p, i):
+    def rename_tokens(p, i):
         if i == 0:
             return p
         w = F.split(F.col("text"), " ")
-        keyed = F.transform(
-            w,
-            lambda x: F.struct(
-                F.md5(F.concat(x, F.lit(f"_{i}"))).alias("k"), x.alias("w")
-            ),
-        )
-        shuffled = F.transform(F.array_sort(keyed), lambda s: s["w"])
-        return p.withColumn("text", F.concat_ws(" ", shuffled))
+        tagged = F.transform(w, lambda x: F.concat(x, F.lit(f"·{i}")))
+        return p.withColumn("text", F.concat_ws(" ", tagged))
 
     _write_single_file(
-        replicate(docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=shuffle_text),
+        replicate(docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=rename_tokens),
         out_dir,
         "documents",
     )
@@ -279,15 +280,21 @@ def main() -> None:
                     f"bench: built x10 dataset in {time.perf_counter() - t0:.1f}s",
                     file=sys.stderr,
                 )
+            # 1× reference for scale-2 queries outside the headline set,
+            # so every scale-2 entry gets a growth factor
+            base1x = dict(timings)
+            extra = [n for n in SCALE2 if n not in base1x]
+            if extra:
+                _run_suite(spark, extra, sf_dir, runs, base1x, errors)
             t2: dict[str, float] = {}
             c2: dict[str, float] = {}
             _run_suite(spark, SCALE2, x10_dir, runs, t2, errors, core=c2)
-            # growth factor vs the 1× headline timing for the same query
+            # growth factor vs the 1× timing for the same query
             # (the scale audit: ~1×–10× expected on 10× data; >12× = bend)
             growth = {
-                n: round(t2[n] / timings[n], 2)
+                n: round(t2[n] / base1x[n], 2)
                 for n in t2
-                if timings.get(n, 0) > 0
+                if base1x.get(n, 0) > 0
             }
             out["scale2"] = {
                 "sf": (float(sf) if sf.replace(".", "").isdigit() else 0.1)

@@ -154,12 +154,28 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 4, rows: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows: int = 4,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
     Shuffles on (band, band_digest) — bucket sizes, not the full pair
     matrix, bound the cost. Returns distinct (id_a < id_b).
+
+    ``max_bucket_width`` caps how many docs any one (band, band_digest)
+    bucket contributes (deterministic: the ``max_bucket_width`` lowest
+    ids survive, the q157 prefix-cap trick). A hot bucket of width w costs
+    w² in the self-join — one pathological bucket (boilerplate text, an
+    empty-signature class) can dominate the whole stage at 100 TB. With
+    the cap, stage cost is ≤ Σ min(w, cap)² ≤ cap · corpus — LINEAR.
+    Recall tradeoff: pairs whose only shared bucket was truncated are
+    missed; near-dup families wider than the cap still collapse through
+    the surviving prefix clique (min ids are kept, so the cluster
+    SURVIVOR is unaffected). Default ``None`` = exact (no cap) — the
+    registered q86/q95/q304 oracles replay the exact variant.
     """
     # one row per doc and it feeds 2 join sides x `bands` projections —
     # materialize instead of recomputing the upstream shingle aggregation
@@ -178,6 +194,15 @@ def lsh_candidate_pairs(
     buckets = band_rows[0]
     for br in band_rows[1:]:
         buckets = buckets.unionByName(br)
+    if max_bucket_width is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_digest").orderBy(id_col)
+        buckets = (
+            buckets.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket_width)
+            .drop("_rk")
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_digest")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_digest")
     return (
@@ -188,31 +213,30 @@ def lsh_candidate_pairs(
     )
 
 
-def minhash_near_duplicates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    n_perm: int = 16,
-    bands: int = 4,
-    rows: int = 4,
-    threshold: float = 0.8,
+def verify_jaccard_on_candidates(
+    sh: DataFrame, cands: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
-    """The full scale-path near-dup pipeline: LSH candidates -> exact verify.
+    """Exact Jaccard over CANDIDATE pairs only, from a shared shingle index.
 
-    Exact Jaccard is computed ONLY for LSH candidate pairs: the shingle
-    index joins onto the candidate set (cost ~ candidates x shingles),
-    never all-pairs — this is the whole point of the LSH pre-filter; a
-    corpus-wide exact pass here would re-introduce the quadratic join the
-    banding exists to avoid. Result set is identical to exact-then-filter.
+    Cost ~ candidates × shingles-per-doc, never all-pairs — the verify
+    stage behind :func:`minhash_near_duplicates`, split out so pipelines
+    that restructure candidate generation (bucket caps, exact-dup
+    collapse) reuse the identical verify semantics.
+
+    The index is first SEMI-JOINED down to docs that appear in some
+    candidate pair (r6: the x10 stage profile showed the two verify
+    joins re-shuffling the FULL corpus index even when candidates touch
+    a fraction of it). Per-doc shingle counts are unchanged by an id
+    filter, so the result is identical; the verify joins now scale with
+    candidate-doc mass, not corpus mass.
     """
-    # ONE shingling pass feeds signatures AND the verify join (see
-    # minhash_signatures_from_index); materialized because it anchors
-    # three consumers across two stages
-    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
-    cands = lsh_candidate_pairs(
-        minhash_signatures_from_index(sh, id_col, n_perm), id_col, bands, rows
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    # 3 consumers (sizes + both join sides) — materialize the restriction
+    sh = sh.join(cand_ids, id_col, "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -236,6 +260,158 @@ def minhash_near_duplicates(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.8,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """The full scale-path near-dup pipeline: LSH candidates -> exact verify.
+
+    Exact Jaccard is computed ONLY for LSH candidate pairs: the shingle
+    index joins onto the candidate set (cost ~ candidates x shingles),
+    never all-pairs — this is the whole point of the LSH pre-filter; a
+    corpus-wide exact pass here would re-introduce the quadratic join the
+    banding exists to avoid. Result set is identical to exact-then-filter.
+    ``max_bucket_width`` bounds the hot-bucket blowup (see
+    :func:`lsh_candidate_pairs`); ``None`` = exact.
+    """
+    # ONE shingling pass feeds signatures AND the verify join (see
+    # minhash_signatures_from_index); materialized because it anchors
+    # three consumers across two stages
+    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        minhash_signatures_from_index(sh, id_col, n_perm),
+        id_col,
+        bands,
+        rows,
+        max_bucket_width,
+    )
+    return verify_jaccard_on_candidates(sh, cands, id_col, threshold)
+
+
+def minhash_near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perm: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.8,
+    collapse_exact: bool | str = "auto",
+    max_bucket_width: int | None = None,
+    collapse_min_dup_frac: float = 0.01,
+) -> DataFrame:
+    """Near-dup CLUSTERS ``(node, cluster)`` with exact-dup pre-collapse.
+
+    ``collapse_exact=True`` runs an exact-dup representative-collapse
+    BEFORE shingling (r5 verdict item 1): only the min-id doc per digest
+    group enters the MinHash/LSH/verify/CC pipeline, and collapsed
+    members are re-expanded into their representative's cluster
+    afterwards. In real 100 TB corpora exact-dup mass dominates, and this
+    keeps it out of every super-linear-in-pair-density stage (bucket
+    self-join, candidate verify, CC edge shuffles) at the cost of one
+    digest groupBy + one semi join — both linear, digest-only shuffles.
+
+    ``collapse_exact="auto"`` (default) makes that call from the data,
+    the way AQE re-plans from runtime stats: the digest aggregation (16
+    bytes/doc, the cheapest possible full-corpus statistic) runs first,
+    and the collapse machinery is engaged only when exact dups are at
+    least ``collapse_min_dup_frac`` of the corpus — below that the extra
+    joins cost more than the shingles they avoid. Either branch returns
+    the identical result, so the choice is purely physical.
+
+    The collapse key is the md5 of the whitespace-collapsed,
+    case-PRESERVING text — digest equality ⇔ identical token sequence
+    under :func:`textops.tokens` (NOT :func:`normalized_md5`, whose
+    lowercasing would merge docs with different case and hence different
+    shingle sets, changing results).
+
+    The result is IDENTICAL to clustering the full corpus
+    (``connected_components(minhash_near_duplicates(df, ...))``):
+
+    - same digest ⇒ identical token sequence ⇒ identical shingle sets ⇒
+      Jaccard 1 with each other and equal Jaccard against every third
+      doc, so a dup group is a clique whose members all join exactly the
+      components their representative joins;
+    - the representative is the group MIN id, so component labels
+      (= min reachable id) are unchanged by collapsing;
+    - dup groups (size ≥ 2) whose representative has no near-dup edges
+      are still emitted as their own cluster — they were a Jaccard-1
+      clique in the uncollapsed graph. Groups whose docs produce no
+      shingles (< n tokens) are excluded, exactly as shingle-less docs
+      drop out of the uncollapsed pipeline.
+
+    Equivalence is property-tested in tests/test_dedup_similarity.py and
+    oracle-gated by q86/q95/q304 (whose DuckDB oracles replay the
+    UNcollapsed formulation).
+    """
+    # shingle-consistent digest: whitespace-collapse only (see docstring)
+    digest_expr = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+    if collapse_exact == "auto":
+        # one map-side-partial aggregation job (count + HLL distinct over
+        # the digest): no shuffle of rows, no materialization. Approx
+        # stats are fine — they steer a physical-only choice.
+        stats = df.agg(
+            F.count("*").alias("_t"),
+            F.approx_count_distinct(digest_expr, 0.02).alias("_r"),
+        ).first()
+        n_docs, n_reps = int(stats["_t"] or 0), int(stats["_r"] or 0)
+        collapse_exact = (n_docs - n_reps) >= collapse_min_dup_frac * n_docs
+
+    if not collapse_exact:
+        pairs = minhash_near_duplicates(
+            df, id_col, text_col, n, n_perm, bands, rows, threshold,
+            max_bucket_width,
+        )
+        return connected_components(pairs)
+
+    digests = df.select(F.col(id_col), digest_expr.alias("_digest"))
+    groups = digests.groupBy("_digest").agg(
+        F.min(id_col).alias("_rep"), F.count("*").alias("_g")
+    )
+    # (id, _rep): every doc mapped to its group representative
+    members = digests.join(groups, "_digest").select(id_col, "_rep", "_g")
+    reps = df.join(
+        members.filter(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    sh = shingle_index(reps, id_col, text_col, n).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(
+        minhash_signatures_from_index(sh, id_col, n_perm),
+        id_col,
+        bands,
+        rows,
+        max_bucket_width,
+    )
+    rep_pairs = verify_jaccard_on_candidates(sh, cands, id_col, threshold)
+    comp_reps = connected_components(rep_pairs)  # (node=rep, cluster)
+    # dup-group cliques whose rep has shingles but no near-dup edges:
+    # they form their own component in the uncollapsed graph
+    shingled = sh.select(F.col(id_col).alias("_rep")).distinct()
+    extra = (
+        groups.filter(F.col("_g") > 1)
+        .join(shingled, "_rep", "left_semi")
+        .join(
+            comp_reps.select(F.col("node").alias("_rep")), "_rep", "left_anti"
+        )
+        .select(F.col("_rep").alias("node"), F.col("_rep").alias("cluster"))
+    )
+    rep_clusters = comp_reps.unionByName(extra).withColumnRenamed("node", "_rep")
+    # expand every clustered rep back to its dup-group members
+    return members.join(rep_clusters, "_rep").select(
+        F.col(id_col).alias("node"), "cluster"
     )
 
 

@@ -700,10 +700,15 @@ _LSH_CLUSTERS_CTE = f"""    buckets AS (
 )
 def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    # adaptive exact-dup representative collapse before shingling (r5
+    # verdict item 1): result-identical to pairs->CC on the full corpus
+    # (the oracle still replays the uncollapsed formulation); when the
+    # digest stats show real exact-dup mass, it never reaches the
+    # bucket-join / verify / CC stages
+    comp = dedup.minhash_near_dup_clusters(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4,
+        threshold=0.5, collapse_exact="auto",
     )
-    comp = dedup.connected_components(pairs)
     return (
         comp.groupBy("cluster")
         .agg(
@@ -747,10 +752,10 @@ def q86_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q95_dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
+    comp = dedup.minhash_near_dup_clusters(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4,
+        threshold=0.5, collapse_exact="auto",
     )
-    comp = dedup.connected_components(pairs)
     survivors = comp.groupBy("cluster").agg(F.min("node").alias("survivor"))
     drops = (
         comp.join(survivors, "cluster")
@@ -1079,12 +1084,10 @@ def q304_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_feature_demo_spark.operators import curation as cur
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=0.5
-    )
-    comp = dedup.connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster"
-    )
+    comp = dedup.minhash_near_dup_clusters(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4,
+        threshold=0.5, collapse_exact="auto",
+    ).select(F.col("node").alias("doc_id"), "cluster")
     rep = docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster", "doc_id").alias("rep"),

@@ -302,3 +302,119 @@ def test_alternating_cc_matches_label_propagation(spark):
             for r in connected_components_alternating(edges).collect()
         }
         assert got == want
+
+
+def test_collapsed_clusters_match_uncollapsed(spark):
+    """minhash_near_dup_clusters(collapse_exact=True) must equal
+    connected_components(minhash_near_duplicates(...)) row-for-row — the
+    equivalence that lets q86/q95/q304 keep their uncollapsed oracles.
+    Corpus engineered to hit every branch: exact dups (byte-identical AND
+    whitespace-variant), a case variant (same normalized_md5 family but
+    DIFFERENT shingles — must NOT merge), a transitive near-dup chain, a
+    shingle-less dup group (< n tokens — excluded both ways), a singleton."""
+    rows = [
+        (1, "a b c d e f g h i"),
+        (2, "a b c d e f g h i"),  # exact dup of 1
+        (3, "a  b c d e f g h i"),  # whitespace variant: same token seq
+        (4, "a b c d e f g h X"),  # near-dup of 1
+        (5, "a b c d e f g Y X"),  # chain link via 4
+        (6, "A b c d e f g h i"),  # case variant: different shingle set
+        (7, "zz yy"),  # < 3 tokens: no shingles
+        (8, "zz yy"),  # exact dup of 7, still shingle-less
+        (9, "totally different words here now then"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, n_perm=16, bands=4, rows=4, threshold=0.5)
+    base = sorted(
+        (r["node"], r["cluster"])
+        for r in dedup.connected_components(
+            dedup.minhash_near_duplicates(df, "doc_id", "text", **kw)
+        ).collect()
+    )
+    coll = sorted(
+        (r["node"], r["cluster"])
+        for r in dedup.minhash_near_dup_clusters(
+            df, "doc_id", "text", collapse_exact=True, **kw
+        ).collect()
+    )
+    assert coll == base
+    # sanity on the fixture itself: the exact-dup family collapsed into
+    # cluster 1, and the shingle-less dup group is absent from both
+    nodes = {n for n, _ in base}
+    assert {1, 2, 3}.issubset(nodes) and 7 not in nodes and 8 not in nodes
+
+
+def test_collapsed_clusters_isolated_dup_group(spark):
+    """A dup group with NO near-dup neighbors must still come out as its
+    own cluster under collapse (it was a Jaccard-1 clique uncollapsed)."""
+    rows = [
+        (1, "p q r s t u v w"),
+        (2, "p q r s t u v w"),  # exact dup of 1; nothing else similar
+        (3, "completely unrelated sentence about other things entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, n_perm=16, bands=4, rows=4, threshold=0.5)
+    coll = sorted(
+        (r["node"], r["cluster"])
+        for r in dedup.minhash_near_dup_clusters(
+            df, "doc_id", "text", collapse_exact=True, **kw
+        ).collect()
+    )
+    assert coll == [(1, 1), (2, 1)]
+
+
+def test_lsh_bucket_width_cap(spark):
+    """max_bucket_width: capped candidates are the deterministic min-id
+    prefix of each bucket and a subset of the uncapped pairs; a width-w
+    bucket contributes C(min(w, cap), 2) pairs, not C(w, 2)."""
+    rows = [(i, "w x y z u v q r s") for i in range(1, 7)] + [
+        (10, "different stuff entirely for this one here")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(df, "doc_id", "text")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sig, "doc_id").collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(
+            sig, "doc_id", max_bucket_width=3
+        ).collect()
+    }
+    assert {(a, b) for (a, b) in uncapped if a < 7 and b < 7} == {
+        (a, b) for a in range(1, 7) for b in range(a + 1, 7)
+    }  # 6 identical docs: full clique uncapped
+    assert capped <= uncapped
+    # the min-id prefix {1,2,3} survives in every band
+    assert {(a, b) for (a, b) in capped if a < 7 and b < 7} == {
+        (1, 2), (1, 3), (2, 3)
+    }
+
+
+def test_collapsed_clusters_auto_both_branches(spark):
+    """collapse_exact='auto' must return the identical clusters whether
+    the dup-mass stats trip the collapse (dup-heavy corpus) or skip it
+    (dup-free corpus) — the choice is physical, never logical."""
+    heavy = [(i, "m n o p q r s t") for i in range(1, 6)] + [
+        (9, "m n o p q r s X"),
+        (10, "unrelated words in this one completely"),
+    ]
+    free = [(i, f"doc number {i} has its own unique little sentence here")
+            for i in range(1, 8)]
+    for rows in (heavy, free):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(n=3, n_perm=16, bands=4, rows=4, threshold=0.5)
+        base = sorted(
+            (r["node"], r["cluster"])
+            for r in dedup.connected_components(
+                dedup.minhash_near_duplicates(df, "doc_id", "text", **kw)
+            ).collect()
+        )
+        got = sorted(
+            (r["node"], r["cluster"])
+            for r in dedup.minhash_near_dup_clusters(
+                df, "doc_id", "text", collapse_exact="auto", **kw
+            ).collect()
+        )
+        assert got == base
