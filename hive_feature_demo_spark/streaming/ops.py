@@ -137,6 +137,16 @@ def with_flush_sentinel(
     in the watermark stats (observed: the final real window went missing).
     Filter ``event_type != 'flush'`` / ``user_id >= 0`` on the BATCH side
     after the run instead, as belt-and-braces.
+
+    CONSTRAINT (r5-verdict advice): the unioned ``events_stream`` must
+    deliver all its data no later than the micro-batch that consumes the
+    sentinel — i.e. do NOT throttle it with ``maxFilesPerTrigger``/rate
+    limits. The sentinel is a separate single-file source; if the events
+    source were split across later micro-batches, the sentinel's
+    far-future timestamp would advance the watermark past the remaining
+    real data and append mode would drop it as late. Every registered
+    caller reads events as one unthrottled single-file source, which
+    satisfies the constraint by construction.
     """
     import datetime as dt
 
@@ -214,6 +224,13 @@ def run_to_memory(
 #: spark.sql.streaming.numRecentProgressUpdates).
 LAST_PROGRESS: dict[str, list[dict]] = {}
 
+#: Retention bound for LAST_PROGRESS (r5-verdict advice: without
+#: eviction, a long-lived session running many registered streaming
+#: queries accumulates progress lists forever). Oldest-inserted runs are
+#: dropped beyond this; tests read their own run immediately after
+#: run_to_memory so a generous bound is safe.
+MAX_PROGRESS_RUNS = 256
+
 
 def _record_progress(name: str, q) -> None:
     import json
@@ -225,6 +242,9 @@ def _record_progress(name: str, q) -> None:
         else:  # StreamingQueryProgress object (PySpark >= 3.4)
             out.append(json.loads(p.json))
     LAST_PROGRESS[name] = out
+    while len(LAST_PROGRESS) > MAX_PROGRESS_RUNS:
+        # dicts preserve insertion order: evict the oldest run
+        LAST_PROGRESS.pop(next(iter(LAST_PROGRESS)))
 
 
 def state_rows_history(name_prefix: str) -> list[list[int]]:
@@ -244,6 +264,29 @@ def state_rows_history(name_prefix: str) -> list[list[int]]:
             ops_ = p.get("stateOperators") or []
             if ops_:
                 rows.append(sum(int(o.get("numRowsTotal", 0)) for o in ops_))
+        hist.append(rows)
+    return hist
+
+
+def state_rows_by_operator(name_prefix: str) -> list[list[list[int]]]:
+    """Per-micro-batch, PER-STATE-OPERATOR row totals for matching runs.
+
+    Like :func:`state_rows_history` but without summing across state
+    operators — needed to bound each level of a CHAINED stateful query
+    separately (e.g. q310's level-1 (window, register) cells vs its
+    level-2 hour windows). Returns one entry per matching run; each entry
+    is a list of per-batch ``[numRowsTotal per operator]`` lists, in the
+    plan's stateOperators order (stable within a run).
+    """
+    hist = []
+    for name, progresses in LAST_PROGRESS.items():
+        if not name.startswith(name_prefix):
+            continue
+        rows = []
+        for p in progresses:
+            ops_ = p.get("stateOperators") or []
+            if ops_:
+                rows.append([int(o.get("numRowsTotal", 0)) for o in ops_])
         hist.append(rows)
     return hist
 

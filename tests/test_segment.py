@@ -270,3 +270,12 @@ def test_cache_key_canonicalization():
     # months value participates in the key (different recency = different query)
     e = cache_key_for(SegmentFilters(genres=("jazz",), min_months_since_purchase=4))
     assert e != a
+    # int vs float spellings of the same threshold share a cache line
+    # (build_predicate float()-coerces both — r5-verdict advice)
+    f_int = cache_key_for(
+        SegmentFilters(min_months_since_purchase=3, min_total_spent=200)
+    )
+    f_flt = cache_key_for(
+        SegmentFilters(min_months_since_purchase=3.0, min_total_spent=200.0)
+    )
+    assert f_int == f_flt

@@ -512,3 +512,60 @@ def test_registered_streaming_queries_state_bounded(spark, sf_dir):
         assert max(rows) < per_row_cap * (n + 2), (
             f"{prefix}: state over design bound: {rows}"
         )
+
+
+def test_q310_chained_levels_state_bounded(spark, sf_dir):
+    """r5-verdict item 4: bound EACH stateful level of the chained q310
+    HLL separately (state_rows_by_operator). Level-1 keys state by
+    (hour window, register): <= 64 cells per open window by DESIGN,
+    whatever the traffic; level-2 keys by hour window alone. On the
+    finite replay: batch 1 holds every real window open (watermark
+    still behind), the sentinel batch closes them all."""
+    from hive_feature_demo_spark.plans.streaming_more import (
+        q310_streaming_hll_distinct,
+    )
+
+    n = q310_streaming_hll_distinct(spark, sf_dir).count()
+    assert n >= 1
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_hw = events.select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    ).distinct().count()
+    runs = [r for r in ops.state_rows_by_operator("q310_out") if r]
+    assert runs, "no per-operator state progress recorded"
+    batches = runs[-1]
+    assert all(len(b) == 2 for b in batches), "expected 2 stateful levels"
+    # identify levels by magnitude: level-1 (window, reg) dominates
+    lvl1 = [max(b) for b in batches]
+    lvl2 = [min(b) for b in batches]
+    # level-1: <= 64 cells per open window (+1 for the sentinel window)
+    assert max(lvl1) <= 64 * (n_hw + 1), (n_hw, batches)
+    # level-2: one row per buffered hour window
+    assert max(lvl2) <= n_hw + 1, (n_hw, batches)
+    # after the sentinel advances the watermark, only ITS window remains
+    assert lvl1[-1] <= 64 and lvl2[-1] <= 1, batches
+
+
+def test_q322_scd2_state_bounded(spark, sf_dir):
+    """r5-verdict item 4: q322's only stateful operator keys state by
+    (hour window, segment) — bounded by windows x 5 TPC-H segments,
+    NEVER by event count; the sentinel row is dropped by the dimension
+    join before aggregation (its watermark effect happens upstream), so
+    end-of-replay state drains to (near) zero."""
+    from hive_feature_demo_spark.plans.streaming_more import (
+        q322_streaming_scd2_enrichment,
+    )
+
+    n = q322_streaming_scd2_enrichment(spark, sf_dir).count()
+    assert 1 <= n <= 5  # one row per mktsegment
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_hw = events.select(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    ).distinct().count()
+    n_events = events.count()
+    hist = [h for h in ops.state_rows_history("q322_out") if h]
+    assert hist, "no state progress recorded"
+    rows = hist[-1]
+    assert max(rows) <= 5 * (n_hw + 1), (n_hw, rows)
+    assert max(rows) < n_events, "state scaled with events, not windows"
+    assert rows[-1] <= 1, f"state not evicted at end of replay: {rows}"
