@@ -24,6 +24,13 @@ unit-tested in ``tests/test_nlquery.py``):
   ``max_months_since_purchase=N``; "between N and M months" -> both;
 - **spend** — "$N" or "N dollars" near spent/spend/worth with an
   at-least/over/more-than qualifier -> ``min_total_spent=N``;
+- **qualitative spend** — "high-spending" / "high spender(s)" /
+  "big spender(s)" with NO explicit amount ->
+  ``min_total_spent=HIGH_SPEND_THRESHOLD`` (750.0 — roughly the fans
+  fixture's top quartile, range 134..934 per FIXTURES.md §1; a
+  deterministic documented constant where the reference's LLM would
+  pick its own number, so the same prompt always builds the same
+  segment. An explicit "$N" in the same request wins);
 - **city** — "in <Capitalized Phrase>" (multi-word allowed) that is not a
   genre -> substring city filter, matching the reference's
   case-insensitive ``in`` containment.
@@ -83,6 +90,11 @@ _RE_SPEND = re.compile(
     rf"\$?\s*([\d,]+(?:\.\d+)?)(?:\s+dollars)?",
     re.IGNORECASE,
 )
+#: qualitative spend tier (see module docstring): fans-fixture top quartile
+HIGH_SPEND_THRESHOLD = 750.0
+_RE_HIGH_SPEND = re.compile(
+    r"(?:high|big)[- ]spend(?:ing|ers?)?", re.IGNORECASE
+)
 _RE_CITY = re.compile(r"\bin\s+((?:[A-Z][a-zA-Z&'-]*)(?:\s+[A-Z][a-zA-Z&'-]*)*)")
 
 
@@ -109,6 +121,8 @@ def parse_nl_query(text: str) -> SegmentFilters:
     min_spent: float | None = None
     if m := _RE_SPEND.search(text):
         min_spent = float(m.group(1).replace(",", ""))
+    elif _RE_HIGH_SPEND.search(text):
+        min_spent = HIGH_SPEND_THRESHOLD
 
     city: str | None = None
     for m in _RE_CITY.finditer(text):

@@ -616,3 +616,69 @@ def q313_segment_cache_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out.orderBy("cache_key")
+
+
+# ---------------------------------------------------------------------------
+# q324 — the chat UI's OTHER two example prompts (r5-verdict item 6): the
+# reference's frontend offers three canned prompts
+# (frontend/components/Chat.tsx:11-15); q303 replays the first (the README
+# front door), this replays the remaining two through the SAME rule
+# grammar (A16) -> segment_stats (A7/A8) chain:
+#   1. "What campaign strategy should I use for high-spending blues
+#      fans?"  -> genre 'blues' (A3) + the qualitative high-spend tier
+#      (A5, HIGH_SPEND_THRESHOLD=750 — the grammar's documented
+#      quantitative mapping where the reference's LLM would pick a
+#      number)
+#   2. "Find fans in Chicago who love EDM" -> genre 'edm' (A3) + city
+#      substring 'Chicago' (A6)
+# exercising the A3+A5 and A3+A6 filter compositions through the parser.
+# The oracle's WHERE clauses are handwritten (not parser-derived), so a
+# grammar regression breaks the hash.
+# ---------------------------------------------------------------------------
+
+CHAT_PROMPTS = (
+    "What campaign strategy should I use for high-spending blues fans?",
+    "Find fans in Chicago who love EDM",
+)
+
+_CHAT_SEG_IDS = tuple(
+    seg.segment_id_for(nlquery.parse_nl_query(t), REF_TODAY) for t in CHAT_PROMPTS
+)
+
+_CHAT_WHERE = (
+    "len(list_filter(genres, g -> lower(g) = 'blues')) > 0"
+    f" AND total_spent >= {nlquery.HIGH_SPEND_THRESHOLD}",
+    "len(list_filter(genres, g -> lower(g) = 'edm')) > 0"
+    " AND lower(city) LIKE '%chicago%'",
+)
+
+_CHAT_ORACLE = "\n    UNION ALL\n".join(
+    f"""    SELECT CAST({i + 1} AS BIGINT) AS request_id,
+           {_NL_AGGS.format(seg_id=_CHAT_SEG_IDS[i])}
+    FROM read_parquet('{FANS_PARQUET}')
+    WHERE {_CHAT_WHERE[i]}"""
+    for i in range(len(CHAT_PROMPTS))
+)
+
+
+@register(
+    "q324_chat_example_prompts",
+    oracle=f"""
+    SELECT * FROM (
+{_CHAT_ORACLE}
+    ) ORDER BY request_id
+    """,
+    category="segment",
+)
+def q324_chat_example_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fans = _fans(spark)
+    out = None
+    for i, text in enumerate(CHAT_PROMPTS, start=1):
+        filters = nlquery.parse_nl_query(text)
+        stats = seg.segment_stats(fans, filters, REF_TODAY).withColumn(
+            "request_id", F.lit(i).cast("long")
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.select(
+        "request_id", "count", "segment_id", "avg_spent", "open_rate"
+    ).orderBy("request_id")

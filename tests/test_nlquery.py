@@ -63,3 +63,33 @@ def test_decimals_and_commas():
     )
     assert f.min_months_since_purchase == 1.5
     assert f.min_total_spent == 1250.50
+
+
+def test_qualitative_high_spend_rule():
+    """'high-spending' / 'big spenders' with no explicit amount pin the
+    documented HIGH_SPEND_THRESHOLD; an explicit $N always wins; the
+    chat example prompts compose A3+A5 and A3+A6 (r5-verdict item 6)."""
+    from hive_feature_demo_spark.operators.nlquery import (
+        HIGH_SPEND_THRESHOLD,
+        parse_nl_query,
+    )
+
+    f = parse_nl_query(
+        "What campaign strategy should I use for high-spending blues fans?"
+    )
+    assert f.genres == ("blues",)
+    assert f.min_total_spent == HIGH_SPEND_THRESHOLD
+    assert f.city is None and f.min_months_since_purchase is None
+
+    g = parse_nl_query("Find fans in Chicago who love EDM")
+    assert g.genres == ("edm",)
+    assert g.city == "Chicago"
+    assert g.min_total_spent is None
+
+    assert parse_nl_query("big spenders only").min_total_spent == HIGH_SPEND_THRESHOLD
+    assert parse_nl_query("HIGH SPENDERS").min_total_spent == HIGH_SPEND_THRESHOLD
+    # explicit amount beats the qualitative tier
+    e = parse_nl_query("high spenders who spent at least $200")
+    assert e.min_total_spent == 200.0
+    # and plain 'spending' with a qualifier+number is still the explicit rule
+    assert parse_nl_query("fans spending over $90").min_total_spent == 90.0
