@@ -152,47 +152,24 @@ def profile(spark, sf_dir: str) -> dict:
 
 
 def profile_collapsed(spark, sf_dir: str) -> dict:
-    """Same pipeline with exact-dup representative collapse up front."""
+    """End-to-end timing of the collapse_exact=True cluster pipeline
+    (the registered q86 path when the dup-mass probe trips), for
+    comparison against the per-stage uncollapsed profile."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stages: dict[str, float] = {}
     stats: dict[str, int] = {}
-    reps = timed(
-        "s0_exact_collapse",
-        lambda: dedup.dedup_exact(docs, "doc_id", "text").localCheckpoint(eager=True),
+    comp = timed(
+        "collapsed_pipeline",
+        lambda: dedup.minhash_near_dup_clusters(
+            docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4,
+            threshold=0.5, collapse_exact=True,
+        ).localCheckpoint(eager=True),
         stages,
     )
-    stats["reps"] = reps.count()
+    stats["component_nodes"] = comp.count()
     stats["docs"] = docs.count()
-    inner = profile_from_docs(spark, reps, stages, stats)
     stages["total"] = round(sum(v for k, v in stages.items() if k != "total"), 2)
     return {"dir": sf_dir, "collapsed": True, "stages": stages, "stats": stats}
-
-
-def profile_from_docs(spark, docs, stages, stats):
-    sh = timed(
-        "s1_shingle_index",
-        lambda: dedup.shingle_index(docs, "doc_id", "text", 3).localCheckpoint(
-            eager=True
-        ),
-        stages,
-    )
-    stats["shingle_rows"] = sh.count()
-    sig = timed(
-        "s2_signatures",
-        lambda: dedup.minhash_signatures_from_index(sh, "doc_id", 16).localCheckpoint(
-            eager=True
-        ),
-        stages,
-    )
-    cands = timed(
-        "s3_candidates",
-        lambda: dedup.lsh_candidate_pairs(sig, "doc_id", 4, 4).localCheckpoint(
-            eager=True
-        ),
-        stages,
-    )
-    stats["candidate_pairs"] = cands.count()
-    return cands
 
 
 def main():
