@@ -589,3 +589,26 @@ def test_global_rank_skew_property(spark):
         assert got == want
 
     check()
+
+
+def test_near_dup_pipeline_plan_shape(spark):
+    """The near-dup scale path must stay equi-join shaped end to end:
+    no CartesianProduct / BroadcastNestedLoop anywhere in the candidate
+    generation, the capped variant included — the whole point of
+    banding is that bucket equi-joins replace the all-pairs product."""
+    from hive_feature_demo_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text")
+    for width in (None, 8):
+        plan = _formatted_plan(
+            dedup.lsh_candidate_pairs(sig, "doc_id", max_bucket_width=width)
+        )
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+        # the bucket join is an equi-join on (band, band_digest)
+        assert "band_digest" in plan
+    # the verify stage joins the candidate-restricted index, still
+    # equi-only (id and (id, shingle) keys)
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    plan = _formatted_plan(pairs)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
