@@ -418,3 +418,62 @@ def test_collapsed_clusters_auto_both_branches(spark):
             ).collect()
         )
         assert got == base
+
+
+# ---------------------------------------------------------------------------
+# Property test: collapse equivalence on RANDOM corpora. Documents draw
+# from a tiny vocabulary with random repetition, forced exact-dup copies
+# (with whitespace jitter), case-flips, and sub-n-token shorts — the full
+# branch surface of minhash_near_dup_clusters in one generator.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+_doc = st.lists(
+    st.integers(min_value=0, max_value=len(_VOCAB) - 1), min_size=1, max_size=10
+).map(lambda ix: " ".join(_VOCAB[i] for i in ix))
+
+_corpus = st.lists(
+    st.tuples(
+        _doc,
+        st.integers(min_value=1, max_value=3),  # exact copies of this doc
+        st.booleans(),  # add a whitespace-jitter copy
+        st.booleans(),  # add a case-flipped copy (NOT an exact dup)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_corpus)
+def test_collapse_equivalence_property(spark, corpus):
+    rows = []
+    next_id = 1
+    for text, copies, jitter, flip in corpus:
+        for _ in range(copies):
+            rows.append((next_id, text)); next_id += 1
+        if jitter:
+            rows.append((next_id, "  " + text.replace(" ", "  ") + " "))
+            next_id += 1
+        if flip:
+            rows.append((next_id, text.upper())); next_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=3, n_perm=16, bands=4, rows=4, threshold=0.5)
+    base = sorted(
+        (r["node"], r["cluster"])
+        for r in dedup.connected_components(
+            dedup.minhash_near_duplicates(df, "doc_id", "text", **kw)
+        ).collect()
+    )
+    coll = sorted(
+        (r["node"], r["cluster"])
+        for r in dedup.minhash_near_dup_clusters(
+            df, "doc_id", "text", collapse_exact=True, **kw
+        ).collect()
+    )
+    assert coll == base, (rows, base, coll)
