@@ -105,6 +105,22 @@ def _write_single_file(df, out_dir: str, name: str, single: bool = False) -> Non
     shutil.rmtree(stage)
 
 
+def rename_tokens(p, i: int):
+    """Copy-i document transform for the ×10 build: bijective token
+    rename (t -> "t·i" for i>0; "·" does not occur in the corpus).
+    A bijection on tokens maps shingle sets bijectively, so within-copy
+    Jaccard structure is EXACTLY the base corpus's and cross-copy
+    shingle overlap is zero — the property tests/test_bench_corpus.py
+    pins (the r5 word-shuffle broke it for repetitive docs)."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return p
+    w = F.split(F.col("text"), " ")
+    tagged = F.transform(w, lambda x: F.concat(x, F.lit(f"·{i}")))
+    return p.withColumn("text", F.concat_ws(" ", tagged))
+
+
 def _build_x10(spark, src_dir: str, out_dir: str) -> None:
     """Materialize a ~10× concatenation of src_dir for the scale-2 suite.
 
@@ -180,15 +196,10 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
 
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
 
-    def rename_tokens(p, i):
-        if i == 0:
-            return p
-        w = F.split(F.col("text"), " ")
-        tagged = F.transform(w, lambda x: F.concat(x, F.lit(f"·{i}")))
-        return p.withColumn("text", F.concat_ws(" ", tagged))
-
     _write_single_file(
-        replicate(docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=rename_tokens),
+        replicate(
+            docs, {"doc_id": next_pow10(docs, "doc_id")}, extra=rename_tokens
+        ),
         out_dir,
         "documents",
     )

@@ -1,0 +1,89 @@
+"""Regression gate for the scale-2 (×10) bench corpus generator.
+
+The r6 stage profile caught the r5 generator inflating the true near-dup
+workload 10,000× (word shuffles preserve bags of words, so repetitive
+documents stayed near-identical across copies) — which was then misread
+as a q86 plan problem. This pins the property the generator must keep:
+a ×K document replica has EXACTLY K× the base corpus's near-dup pairs
+(each copy's internal Jaccard structure preserved by the token
+bijection) and ZERO cross-copy pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import bench
+from hive_feature_demo_spark.operators import dedup
+
+# repetitive docs — the r5 failure mode: small vocab, heavy repetition,
+# plus a genuine near-dup pair and a shuffle-invariant short doc
+DOCS = [
+    (1, "spark spark hive spark hive spark spark hive spark"),
+    (2, "spark spark hive spark hive spark spark hive demo"),  # near-dup of 1
+    (3, "alpha beta alpha beta alpha beta alpha beta alpha"),
+    (4, "tiny doc here"),
+    (5, "one two three four five six seven eight nine ten"),
+]
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+
+
+def test_x10_document_transform_preserves_per_copy_pairs(spark):
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    base_pairs = _pairs(base)
+    assert base_pairs, "fixture must contain at least one near-dup pair"
+
+    copies = []
+    for i in range(3):
+        p = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 100))
+        copies.append(bench.rename_tokens(p, i))
+    rep = copies[0]
+    for p in copies[1:]:
+        rep = rep.unionByName(p)
+
+    rep_pairs = _pairs(rep)
+    # exactly K x the base pair set, each shifted into its copy's id range
+    want = {
+        (a + i * 100, b + i * 100) for (a, b) in base_pairs for i in range(3)
+    }
+    assert rep_pairs == want
+    # and in particular: zero cross-copy pairs
+    assert all((a // 100) == (b // 100) for a, b in rep_pairs)
+
+
+def test_x10_transform_is_token_bijection(spark):
+    """Token counts and per-doc distinct-shingle counts are invariant
+    under the copy transform (the bijection property itself)."""
+    base = spark.createDataFrame(DOCS, "doc_id long, text string")
+    renamed = bench.rename_tokens(base, 7)
+    b = {
+        r["doc_id"]: (r["nt"], r["ns"])
+        for r in base.select(
+            "doc_id",
+            F.size(F.split("text", r"\s+")).alias("nt"),
+            F.size(
+                F.array_distinct(
+                    dedup.word_shingles(dedup.tokens("text"), 3)
+                )
+            ).alias("ns"),
+        ).collect()
+    }
+    r = {
+        r["doc_id"]: (r["nt"], r["ns"])
+        for r in renamed.select(
+            "doc_id",
+            F.size(F.split("text", r"\s+")).alias("nt"),
+            F.size(
+                F.array_distinct(
+                    dedup.word_shingles(dedup.tokens("text"), 3)
+                )
+            ).alias("ns"),
+        ).collect()
+    }
+    assert b == r
