@@ -1340,15 +1340,28 @@ def q248_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # surfaces the per-cell maxima instead of an empty thresholded set,
 # keeping the operator observable. Pair cost is sum of cell_size^2 —
 # bounded by the coarse quantizer, never corpus^2.
+#
+# r6 scale fix: the quantizer SIZE scales with the corpus — k =
+# greatest(16, floor(N / 125)) centroids (vec_id < k), computed from the
+# data identically in both engines, so the TARGET CELL WIDTH (~125
+# vectors) is constant and pair cost stays ~N x width = LINEAR. The r6
+# x10 growth audit caught the fixed-k version at 32.7x on 10x data
+# (cells widen 10x -> pair space 100x); with k ∝ N it re-measures ~2x.
+# k is 16 at every test SF (results unchanged); assignment cost N x k is
+# the known IVF tradeoff (production mitigates with hierarchical /
+# approximate assignment; the per-vector argmin shape is identical).
 # ---------------------------------------------------------------------------
 
 
 @register(
     "q249_ivf_cell_closest_pairs",
     oracle=f"""
-    WITH cent AS (
+    WITH k AS (
+      SELECT greatest(16, CAST(floor(count(*) / 125) AS BIGINT)) AS k
+      FROM embeddings
+    ), cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings, k WHERE vec_id < k.k
     ), vecs AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), lists AS (
@@ -1384,7 +1397,16 @@ def q249_ivf_cell_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_feature_demo_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 16)
+    # corpus-scaled quantizer: k = greatest(16, floor(N/125)) — constant
+    # ~125-vector cell width at any corpus size (see header comment)
+    k = emb.agg(
+        F.greatest(F.lit(16), F.floor(F.count("*") / 125))
+        .cast("long")
+        .alias("_k")
+    )
+    cent = emb.crossJoin(F.broadcast(k)).filter(
+        F.col("vec_id") < F.col("_k")
+    ).drop("_k")
     assigned = similarity.ivf_assign(emb, cent, nprobe=1).localCheckpoint(
         eager=True
     )
