@@ -421,8 +421,25 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Bit j's vote = +1/-1 per distinct token whose md5 has bit j set; the
     fingerprint sets bit j when the vote sum is positive. Bits come from
     md5 hex nibbles (position in '0123456789abcdef'), so the identical
-    computation runs in ANSI SQL oracle-side. One explode(64)/token, two
-    shuffles on (id, position) — no UDFs, all codegen.
+    computation runs in ANSI SQL oracle-side. No UDFs, all codegen.
+
+    Shape (r6): 16 PACKED aggregate columns over one row per distinct
+    token. Each md5 nibble's 4 bit-indicators live in their own 16-bit
+    count field of one long (packed[v] = Σ_r ((v>>r)&1) << 16r, a
+    16-element literal lookup per nibble), so Catalyst partial-aggregates
+    map-side and the only shuffle is 17 longs per doc keyed by id. Bit j
+    is set iff 2*count_j > n_tokens — algebraically identical to the
+    ±1-vote sum being positive (vote = 2*count - n), so ties (sum == 0)
+    resolve the same way. The previous formulation exploded 64 (j, vote)
+    rows per token and shuffled tokens×64 rows through two (id, position)
+    groupBys — 64× the shuffle volume; a 64-separate-agg variant fixed
+    the shuffle but paid ~6 s of whole-stage-codegen compile for the 64
+    CASE-WHEN aggregates. This packed form keeps codegen narrow: sf0.01
+    cold 1.5 s (vs 7.2 s for 64-agg) / warm 0.39 s (vs 0.68 s), and the
+    16-bit fields are exact for docs up to 65535 distinct tokens (corpus
+    max ~200; the count(*) guard below raises beyond the bound rather
+    than silently wrapping). Output verified bit-identical to the
+    exploded formulation via exceptAll both ways.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
@@ -433,50 +450,42 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             " i -> instr('0123456789abcdef', substring(md5(tok), i, 1)) - 1)"
         ),
     )
-    votes = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 63), j -> struct(j AS j,"
-                " CASE WHEN (shiftright(element_at(nibs, CAST(j DIV 4 AS INT) + 1),"
-                "                       CAST(j % 4 AS INT)) & 1) = 1"
-                " THEN 1 ELSE -1 END AS vote))"
+    packed = [
+        sum(((v >> r) & 1) << (16 * r) for r in range(4)) for v in range(16)
+    ]
+    pk = "array(" + ",".join(f"{v}L" for v in packed) + ")"
+    aggs = [
+        F.sum(F.expr(f"element_at({pk}, element_at(nibs, {i + 1}) + 1)")).alias(
+            f"p_{i}"
+        )
+        for i in range(16)
+    ] + [F.count(F.lit(1)).alias("n_tok")]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    # bit j of nibble i set iff 2*count_field > n_tok; nibble value =
+    # Σ_{r<4} bit << r; hex char lookup per nibble. assert_true guards
+    # the 16-bit field bound (docs with >65535 distinct tokens must
+    # fail loudly, not wrap counts).
+    nib_hex = [
+        F.expr(
+            "substring('0123456789abcdef', CAST("
+            + " + ".join(
+                f"shiftleft(CASE WHEN 2 * ((p_{i} >> {16 * r}) & 65535)"
+                f" > n_tok THEN 1 ELSE 0 END, {r})"
+                for r in range(4)
             )
-        ).alias("v"),
-    ).select(F.col(id_col), F.col("v.j").alias("j"), F.col("v.vote").alias("vote"))
-    bits = (
-        votes.groupBy(id_col, "j")
-        .agg(F.sum("vote").alias("s"))
-        .select(
-            F.col(id_col),
-            "j",
-            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+            + " AS INT) + 1, 1)"
         )
-    )
-    nibs = (
-        bits.groupBy(id_col, (F.col("j") / 4).cast("int").alias("nib_idx"))
-        .agg(F.sum(F.expr("shiftleft(bit, CAST(j % 4 AS INT))")).alias("nib_val"))
-        .select(
-            F.col(id_col),
-            "nib_idx",
-            F.expr("substring('0123456789abcdef', CAST(nib_val AS INT) + 1, 1)").alias(
-                "nib_hex"
-            ),
-        )
-    )
-    return (
-        nibs.groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("nib_idx"), F.col("nib_hex")))
-                    ),
-                    lambda s: s["nib_hex"],
-                ),
-                "",
-            ).alias("simhash")
-        )
+        for i in range(16)
+    ]
+    return sums.select(
+        F.col(id_col),
+        F.when(
+            F.assert_true(
+                F.col("n_tok") <= F.lit(65535),
+                F.lit("simhash64: >65535 distinct tokens overflows packed counts"),
+            ).isNull(),
+            F.concat(*nib_hex),
+        ).alias("simhash"),
     )
 
 
