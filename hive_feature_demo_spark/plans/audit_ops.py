@@ -17,6 +17,9 @@ so Spark and the DuckDB oracle emit identical bits.
 from __future__ import annotations
 
 import math
+from decimal import ROUND_HALF_UP as _ROUND_HALF_UP
+from decimal import Decimal as _PyDecimal
+from decimal import localcontext as _dec_localcontext
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1649,17 +1652,27 @@ def q280_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join explodes to N x 64 x 64 rows, but the (i,j)-keyed agg is
 # map-side combinable down to 4096 cells — the canonical X^T X shape,
 # the only stage that touches the fact), then SIXTY matrix-vector
-# iterations that run entirely on the 4096-row covariance table with the
-# 64-row vector broadcast. Round count: per-round error decays as
-# (lambda2/lambda1)^k and the synthetic embeddings are near-isotropic
-# (gap ~ 1.07 at sf0.001), so 60 rounds reach cosine > 0.99 to the true
-# eigenvector (verified against numpy in tests); the round count is a
-# FIXED engine contract, never data-dependent. Seed = 1/8 everywhere
-# (1/sqrt(64), exactly representable); every 64-term sum accumulates in
-# exact decimal so both engines round identically; the oracle unrolls
-# the same 60 rounds as MATERIALIZED CTEs (DuckDB inlines plain CTEs,
-# which would re-derive the Gram matrix per round). lambda1 is ||C v||
-# of the final normalized iterate; explained share = lambda1 / trace(C).
+# iterations on the collected 4096-double covariance, driver-side.
+# Driver state is the d^2 = 4096-row matrix plus a 64-float iterate —
+# the standard distributed-PCA split (one cluster pass builds X^T X;
+# eigen-iterations are O(d^2) local math, independent of N). An earlier
+# form ran each round as a Spark job over the checkpointed 4096-row
+# table; the 60 x (join+agg+collect) jobs cost ~36 s of pure scheduling
+# at every SF (42.9 s total at sf0.1 vs 10.4 s now, bit-identical output
+# at sf0.001/0.01/0.1 — scripts/ab_pca.py). Round count: per-round error
+# decays as (lambda2/lambda1)^k and the synthetic embeddings are
+# near-isotropic (gap ~ 1.07 at sf0.001), so 60 rounds reach cosine >
+# 0.99 to the true eigenvector (verified against numpy in tests); the
+# round count is a FIXED engine contract, never data-dependent. Seed =
+# 1/8 everywhere (1/sqrt(64), exactly representable). Determinism: each
+# double product is quantized to DECIMAL(25,10) HALF_UP via its shortest
+# round-trip decimal repr — exactly Spark's double->decimal cast
+# (BigDecimal.valueOf) that the previous form applied per term — then
+# summed exactly and cast back to double, so both engines round
+# identically; the oracle unrolls the same 60 rounds as MATERIALIZED
+# CTEs (DuckDB inlines plain CTEs, which would re-derive the Gram matrix
+# per round). lambda1 is ||C v|| of the final normalized iterate;
+# explained share = lambda1 / trace(C).
 # ---------------------------------------------------------------------------
 
 
@@ -1739,52 +1752,45 @@ def q281_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ma = mu.select(F.col("i").alias("i"), F.col("mu").alias("mu_i"))
     mb = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
-    cov = (
+    cov_rows = (
         g.join(F.broadcast(ma), "i")
         .join(F.broadcast(mb), "j")
         .select("i", "j", (F.col("exy") - F.col("mu_i") * F.col("mu_j")).alias("c"))
-        .localCheckpoint(eager=True)  # 4096 rows; reused by _PCA_ROUNDS iterations + trace
+        .collect()  # d^2 = 4096 rows — bounded driver state by construction
     )
-    v = spark.createDataFrame([(i, 0.125) for i in range(1, 65)], "i int, v double")
-    norm_df = None
-    for _ in range(_PCA_ROUNDS):
-        w = (
-            cov.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(F.sum((F.col("c") * F.col("v")).cast(_DEC)).cast("double").alias("w"))
-        )
-        norm_df = w.agg(
-            F.sqrt(F.sum((F.col("w") * F.col("w")).cast(_DEC)).cast("double")).alias(
-                "n"
-            )
-        )
-        # the 64-row iterate round-trips through the driver as exact IEEE
-        # doubles (collect -> createDataFrame), keeping every round's plan
-        # constant-size instead of checkpointing a growing lineage
-        rows = (
-            w.crossJoin(F.broadcast(norm_df))
-            .select("i", (F.col("w") / F.col("n")).alias("v"))
-            .collect()
-        )
-        v = spark.createDataFrame(
-            [(int(r["i"]), float(r["v"])) for r in rows], "i int, v double"
-        )
-    tr = cov.filter(F.col("i") == F.col("j")).agg(
-        F.sum(F.col("c").cast(_DEC)).cast("double").alias("trace")
-    )
-    return (
-        v.crossJoin(F.broadcast(norm_df))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            F.col("i").cast("long").alias("dim"),
-            round_det(F.col("v"), 6).alias("loading"),
-            round_det(F.col("n"), 6).alias("lambda1"),
-            F.floor(10000.0 * (F.col("n") / F.col("trace")))
-            .cast("long")
-            .alias("explained_bps"),
-        )
-        .orderBy("dim")
-    )
+    cov = {(r["i"], r["j"]): r["c"] for r in cov_rows}
+
+    # _dec10 = Spark's CAST(double AS DECIMAL(25,10)): shortest round-trip
+    # decimal repr (BigDecimal.valueOf semantics = repr(x)), HALF_UP at
+    # the 10th fractional digit. Summing the quantized products exactly
+    # and casting back to double replays the previous per-round Spark agg
+    # term for term (bit-identical at all test SFs — scripts/ab_pca.py).
+    q10 = _PyDecimal("1e-10")
+
+    def _dec10(x: float) -> "_PyDecimal":
+        return _PyDecimal(repr(x)).quantize(q10, rounding=_ROUND_HALF_UP)
+
+    with _dec_localcontext() as ctx:
+        ctx.prec = 50
+        v = {i: 0.125 for i in range(1, 65)}
+        n = 0.0
+        for _ in range(_PCA_ROUNDS):
+            w = {
+                i: float(sum(_dec10(cov[(i, j)] * v[j]) for j in range(1, 65)))
+                for i in range(1, 65)
+            }
+            n = math.sqrt(float(sum(_dec10(wi * wi) for wi in w.values())))
+            v = {i: w[i] / n for i in range(1, 65)}
+        trace = float(sum(_dec10(cov[(i, i)]) for i in range(1, 65)))
+    out = spark.createDataFrame([(i, v[i]) for i in range(1, 65)], "i int, v double")
+    return out.select(
+        F.col("i").cast("long").alias("dim"),
+        round_det(F.col("v"), 6).alias("loading"),
+        round_det(F.lit(n), 6).alias("lambda1"),
+        F.floor(10000.0 * (F.lit(n) / F.lit(trace))).cast("long").alias(
+            "explained_bps"
+        ),
+    ).orderBy("dim")
 
 
 # ---------------------------------------------------------------------------
