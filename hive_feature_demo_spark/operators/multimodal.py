@@ -94,7 +94,7 @@ DECODED_SCHEMA = "asset_id long, kind string, n_units long"
 
 def decode_assets(assets: DataFrame) -> DataFrame:
     """Run the (stub) decoder over binary content, Arrow-batched."""
-    return assets.mapInPandas(decode_stub(), schema=DECODED_SCHEMA)
+    return _fan_out(assets).mapInPandas(decode_stub(), schema=DECODED_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -134,11 +134,14 @@ def resize_bilinear(img, out_h: int, out_w: int):
     Standard align-corners=False sampling: output pixel (i, j) samples the
     source at ((i+0.5)*h/out_h - 0.5, (j+0.5)*w/out_w - 0.5), clamped, with
     bilinear weights — the same convention as PIL/torch. Vectorized gather
-    + lerp; no Python per-pixel loop.
+    + lerp; no Python per-pixel loop. Gathers index the SOURCE dtype and
+    promote to float64 in the lerp (int→float conversion is exact, so
+    values are identical to promoting first, without materializing an
+    8×-wider copy of a source that may be 64× the output size).
     """
     import numpy as np
 
-    src = img.astype(np.float64)
+    src = img
     h, w = src.shape[0], src.shape[1]
     ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
     xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
@@ -176,14 +179,6 @@ def media_features_kernel():
 
     import numpy as np
 
-    def _decode_rgb(src, width: int, height: int, frame: int):
-        """Synthetic codec: frame ``f`` is bytes [f*w*h*3, (f+1)*w*h*3) of
-        the infinitely-tiled payload, shaped (h, w, 3)."""
-        npx3 = width * height * 3
-        start = (frame * npx3) % len(src)
-        rolled = np.concatenate([src[start:], src[:start]])
-        return np.resize(rolled, npx3).reshape(height, width, 3)
-
     def _features(content: bytes) -> dict:
         h = hashlib.md5(content).hexdigest()
         width = 16 * (1 + int(h[0:2], 16) % 64)
@@ -195,10 +190,31 @@ def media_features_kernel():
         src = np.frombuffer(content, dtype=np.uint8)
         if src.size == 0:
             src = np.zeros(1, dtype=np.uint8)
+        npx3 = width * height * 3
 
-        frame0 = _decode_rgb(src, width, height, 0)
-        flat = frame0.reshape(-1)
-        seg = flat.size // EMBED_DIM  # h % 16 == 0 -> exact strip split
+        # Every per-frame/per-strip statistic is a byte sum over a window
+        # of the infinitely-tiled payload (frame f = [f·npx3, (f+1)·npx3)),
+        # so compute them from ONE prefix-sum pass over the payload instead
+        # of materializing an npx3-byte buffer per frame (npx3 is up to 3 MB
+        # from a KB-scale payload; 18 sampled frames made that the dominant
+        # per-asset cost). Sums of uint8 are exact integers < 2^53, and
+        # np.mean's float64 pairwise summation of exact integers is itself
+        # exact, so s/n reproduces .mean() bit-for-bit — the same identity
+        # the DuckDB oracle's prefix-sum replay (plans/mediaops._PX_CTE)
+        # already relies on. Only frame 0 is materialized, for the real
+        # bilinear resize.
+        cs = np.concatenate([[0], np.cumsum(src, dtype=np.int64)])
+        payload_len = src.size
+        total = int(cs[payload_len])
+
+        def _wsum(lo: int, hi: int) -> int:
+            """Byte sum of the tiled payload over [lo, hi)."""
+            return (hi // payload_len - lo // payload_len) * total + int(
+                cs[hi % payload_len]
+            ) - int(cs[lo % payload_len])
+
+        frame0 = np.resize(src, npx3).reshape(height, width, 3)
+        seg = npx3 // EMBED_DIM  # h % 16 == 0 -> exact strip split
         sampled = list(range(0, n_frames, FRAME_STRIDE))
         return {
             "width": width,
@@ -209,15 +225,17 @@ def media_features_kernel():
             "sampled_frames": sampled,
             "frame_lums": [
                 _floor_round(
-                    _decode_rgb(src, width, height, f).mean() / 255.0
+                    float(_wsum(f * npx3, (f + 1) * npx3)) / npx3 / 255.0
                 )
                 for f in sampled
             ],
             "embedding": [
-                _floor_round(flat[b * seg : (b + 1) * seg].mean() / 255.0 - 0.5)
+                _floor_round(
+                    float(_wsum(b * seg, (b + 1) * seg)) / seg / 255.0 - 0.5
+                )
                 for b in range(EMBED_DIM)
             ],
-            "mean_px": _floor_round(float(flat.mean())),
+            "mean_px": _floor_round(float(_wsum(0, npx3)) / npx3),
             "resized_mean": _floor_round(
                 float(resize_bilinear(frame0, out_height, out_width).mean())
             ),
@@ -262,15 +280,27 @@ def strip_hash_kernel():
         if src.size == 0:
             src = np.zeros(1, dtype=np.uint8)
         npx3 = width * height * 3
-        flat = np.resize(src, npx3).astype(np.int64)  # frame 0 == tiled prefix
+        # strip s's byte sum over the tiled frame-0 window [s·seg, (s+1)·seg)
+        # from one payload prefix-sum pass — exact integers, identical to
+        # materializing and reshaping the npx3-byte buffer (which is up to
+        # 3 MB tiled from a KB payload)
+        cs = np.concatenate([[0], np.cumsum(src, dtype=np.int64)])
+        payload_len = src.size
+        t = int(cs[payload_len])
         seg = npx3 // STRIP_HASH_BITS
-        sums = flat.reshape(STRIP_HASH_BITS, seg).sum(axis=1)
-        total = int(sums.sum())
+
+        def _wsum(lo: int, hi: int) -> int:
+            return (hi // payload_len - lo // payload_len) * t + int(
+                cs[hi % payload_len]
+            ) - int(cs[lo % payload_len])
+
+        sums = [_wsum(s * seg, (s + 1) * seg) for s in range(STRIP_HASH_BITS)]
+        total = _wsum(0, npx3)
         return int(
             sum(
                 1 << s
                 for s in range(STRIP_HASH_BITS)
-                if int(sums[s]) * STRIP_HASH_BITS > total
+                if sums[s] * STRIP_HASH_BITS > total
             )
         )
 
@@ -286,15 +316,32 @@ def strip_hash_kernel():
     return kernel
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound Python kernel's input across the cluster.
+
+    A small corpus often arrives as ONE scan split (a few MB of parquet),
+    which would serialize the decode on a single task no matter how many
+    cores exist — at sf0.1 the media family ran 80 s on one core vs ~4 s
+    fanned out. Hash-repartition on asset_id only when the scan gives
+    fewer splits than cores; at real scale input splits already exceed
+    parallelism and this is a no-op (values are per-asset, so the result
+    is partitioning-independent either way).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, "asset_id")
+    return df
+
+
 def strip_hashes(assets: DataFrame) -> DataFrame:
     """(asset_id, strip_hash): 8-byte visual signature per binary asset."""
-    return assets.select("asset_id", "content").mapInPandas(
+    return _fan_out(assets.select("asset_id", "content")).mapInPandas(
         strip_hash_kernel(), schema="asset_id long, strip_hash long"
     )
 
 
 def media_features(assets: DataFrame) -> DataFrame:
     """Decode-pipeline features over binary assets (Arrow-batched)."""
-    return assets.select("asset_id", "content").mapInPandas(
+    return _fan_out(assets.select("asset_id", "content")).mapInPandas(
         media_features_kernel(), schema=MEDIA_SCHEMA
     )

@@ -92,15 +92,38 @@ def near_dup_pairs(
     bucketing (candidates share a random-projection signature) at the cost
     of recall. Threshold comparison happens on the *rounded* similarity so
     the cut is reproducible across engines.
+
+    Norms are computed ONCE per row before the pair join (the same
+    left-fold, so the value — and therefore the rounded cosine — is
+    bit-identical to folding per pair, which cost 3 array aggregates per
+    pair instead of 1). The stream side fans out to the session
+    parallelism when the scan arrives as fewer splits: a small corpus is
+    one parquet split, which would nest-loop the whole pair space on a
+    single task (69 s -> ~2 s at sf0.1).
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    withn = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    a = withn.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    )
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < target:
+        a = a.repartition(target, "id_a")
+    b = withn.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            round_det(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+            round_det(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")

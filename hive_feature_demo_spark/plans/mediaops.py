@@ -353,12 +353,17 @@ _HAM_T = 3
                   THEN 1 ELSE 0 END AS bit
       FROM summed m JOIN tot2 t USING (asset_id)
     ),
+    sig AS (
+      SELECT asset_id, CAST(SUM(bit << strip) AS BIGINT) AS sig
+      FROM bits GROUP BY asset_id
+    ),
     ham AS (
+      -- pack the 32 bits into one BIGINT so the pair space carries one
+      -- bit_count(xor) per pair instead of 32 joined bit-rows (the
+      -- bit-row form cost 105 s at sf0.1 vs 1.3 s packed, same rows)
       SELECT a.asset_id AS id_a, b.asset_id AS id_b,
-             SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
-      FROM bits a JOIN bits b
-        ON a.strip = b.strip AND a.asset_id < b.asset_id
-      GROUP BY 1, 2
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.asset_id < b.asset_id
     )
     SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
     FROM ham WHERE hamming <= {_HAM_T}
