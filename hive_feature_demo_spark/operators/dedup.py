@@ -676,36 +676,56 @@ def simhash_near_pairs(
             ),
         )
     )
+    # parse the 64-bit hash ONCE per row into two unsigned 32-bit halves so
+    # the per-pair Hamming is bit_count(xor) on longs inside codegen — the
+    # value is the popcount of the full 64-bit xor, identical to the
+    # nibble-wise fold the oracle spells out, which as a Spark higher-order
+    # aggregate ran interpreted (16 instr+substring+xor per CANDIDATE pair)
+    hexhalf = lambda start: F.conv(  # noqa: E731
+        F.substring(F.col(hash_col), start, 8), 16, 10
+    ).cast("long")
     tagged = fingerprints.select(
-        F.col(id_col), F.col(hash_col), bands.alias("b")
-    ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        F.col(id_col),
+        F.col(hash_col),
+        hexhalf(1).alias("hi"),
+        hexhalf(9).alias("lo"),
+        bands.alias("b"),
+    ).select(
+        id_col,
+        hash_col,
+        "hi",
+        "lo",
+        F.col("b.band").alias("band"),
+        F.col("b.bh").alias("bh"),
+    )
     a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "band", "bh"
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+        "band",
+        "bh",
     )
     b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "band", "bh"
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+        "band",
+        "bh",
     )
-    # nibble-wise popcount of xor, expressible identically in ANSI SQL
-    hamming = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.bit_count(
-                (
-                    F.instr(F.lit("0123456789abcdef"), F.substring("h_a", i, 1)) - 1
-                ).bitwiseXOR(
-                    F.instr(F.lit("0123456789abcdef"), F.substring("h_b", i, 1)) - 1
-                )
-            ),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    # hamming is a pure function of the pair, so thresholding BEFORE the
+    # distinct is value-identical and shrinks the dedup shuffle to the
+    # surviving pairs (band-collision candidates are the wide set)
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "h_a", "h_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "h_a", "h_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
