@@ -102,3 +102,85 @@ def test_documents_are_ascii():
         " WHERE octet_length(encode(text)) <> length(text)"
     ).fetchone()[0]
     assert n == 0
+
+
+def _materialized_features(content: bytes) -> dict:
+    """The pre-r6 buffer-materializing formulation, kept as the independent
+    reference for the kernel's prefix-sum rewrite: decode every sampled
+    frame into its own tiled npx3-byte buffer and call .mean() on it."""
+    h = hashlib.md5(content).hexdigest()
+    width = 16 * (1 + int(h[0:2], 16) % 64)
+    height = 16 * (1 + int(h[2:4], 16) % 64)
+    n_frames = 1 + int(h[4:6], 16) % 120
+    src = np.frombuffer(content, dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    npx3 = width * height * 3
+
+    def decode(frame):
+        start = (frame * npx3) % len(src)
+        rolled = np.concatenate([src[start:], src[:start]])
+        return np.resize(rolled, npx3)
+
+    flat = decode(0)
+    seg = npx3 // multimodal.EMBED_DIM
+    sampled = list(range(0, n_frames, multimodal.FRAME_STRIDE))
+    fr = multimodal._floor_round
+    return {
+        "frame_lums": [fr(decode(f).mean() / 255.0) for f in sampled],
+        "embedding": [
+            fr(flat[b * seg : (b + 1) * seg].mean() / 255.0 - 0.5)
+            for b in range(multimodal.EMBED_DIM)
+        ],
+        "mean_px": fr(float(flat.mean())),
+    }
+
+
+def _materialized_strip_hash(content: bytes) -> int:
+    """Pre-r6 buffer-materializing strip hash (independent reference)."""
+    h = hashlib.md5(content).hexdigest()
+    width = 16 * (1 + int(h[0:2], 16) % 64)
+    height = 16 * (1 + int(h[2:4], 16) % 64)
+    src = np.frombuffer(content, dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    npx3 = width * height * 3
+    flat = np.resize(src, npx3).astype(np.int64)
+    seg = npx3 // multimodal.STRIP_HASH_BITS
+    sums = flat.reshape(multimodal.STRIP_HASH_BITS, seg).sum(axis=1)
+    total = int(sums.sum())
+    return int(
+        sum(
+            1 << s
+            for s in range(multimodal.STRIP_HASH_BITS)
+            if int(sums[s]) * multimodal.STRIP_HASH_BITS > total
+        )
+    )
+
+
+def test_prefix_sum_kernel_matches_materialized_buffers():
+    """Property: the prefix-sum kernels are bit-identical to decoding and
+    reducing the full tiled buffers, across payload sizes that tile many
+    times, roughly once, and not at all (payload >= npx3 impossible here,
+    but same-order covered), including the empty payload."""
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    payloads = [b""]
+    for size in (1, 7, 53, 997, 16384, 250_000):
+        payloads.append(bytes(rng.integers(0, 256, size=size, dtype=np.uint8)))
+    payloads.append(b"\x00" * 100)  # constant payload: every strip ties
+    fk = multimodal.media_features_kernel()
+    sk = multimodal.strip_hash_kernel()
+    pdf = pd.DataFrame(
+        {"asset_id": list(range(len(payloads))), "content": payloads}
+    )
+    [feats] = list(fk(iter([pdf])))
+    [hashes] = list(sk(iter([pdf])))
+    for i, content in enumerate(payloads):
+        want = _materialized_features(content)
+        row = feats.iloc[i]
+        assert list(row["frame_lums"]) == want["frame_lums"], i
+        assert list(row["embedding"]) == want["embedding"], i
+        assert row["mean_px"] == want["mean_px"], i
+        assert hashes.iloc[i]["strip_hash"] == _materialized_strip_hash(content), i
