@@ -18,8 +18,40 @@ join shuffles on the (a,c) pair.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def cap_degree(pairs: DataFrame, k: int, u_col: str = "ua", v_col: str = "ub") -> DataFrame:
+    """Bound an undirected edge list to ≈k edges per node before iterating.
+
+    The iterative graph ops (k-core, BFS, label propagation, PageRank)
+    shuffle the edge set once per round, so a density explosion in the
+    graph BUILDER — e.g. ×10 traffic in the same time range densifying
+    the session-overlap graph ×100 (q160) — multiplies every round. This
+    is the graph-construction analogue of ``lsh_candidate_pairs``'
+    ``max_bucket_width``: each node nominates its ``k`` smallest-id
+    neighbors (deterministic), and an edge survives if EITHER endpoint
+    nominates it — union semantics keep connectivity (a hub is never
+    isolated by its own cap). Nominations total ≤ kN, so the surviving
+    edge set is ≤ kN and per-round shuffle is linear in N whatever the
+    raw density (mean degree ≤ 2k; an individual small-id hub may still
+    exceed 2k by being nominated widely, which AQE skew-join absorbs). A
+    RECALL/structure knob, never applied by default: capped
+    cores/communities are a subgraph's, not the full graph's.
+    """
+    sym = pairs.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).unionAll(
+        pairs.select(F.col(v_col).alias("u"), F.col(u_col).alias("v"))
+    )
+    w = Window.partitionBy("u").orderBy("v")
+    nominated = (
+        sym.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.least("u", "v").alias(u_col), F.greatest("u", "v").alias(v_col)
+        )
+    )
+    return nominated.dropDuplicates([u_col, v_col])
 
 
 def min_label_rounds(nodes: DataFrame, pairs: DataFrame, iters: int) -> DataFrame:

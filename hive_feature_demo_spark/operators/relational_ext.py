@@ -154,6 +154,9 @@ def interval_overlap_join(
     r_lo: str,
     r_hi: str,
     cell_seconds: int = 3600,
+    max_cell_width: int | None = None,
+    l_tiebreak: list[str] | None = None,
+    r_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Join every left interval to every right interval it OVERLAPS
     (``l_lo <= r_hi AND r_lo <= l_hi``, inclusive) with both sides large.
@@ -166,6 +169,18 @@ def interval_overlap_join(
     pair survives exactly once (its intersection starts in that cell) and
     no distinct/dedup shuffle is needed. The pair-level filter then
     applies the exact overlap predicate.
+
+    ``max_cell_width`` is the density escape hatch for the "×10 traffic in
+    the same time range" regime, where cell populations grow linearly and
+    the per-cell pair space quadratically (q160's ×100-edge phenomenon —
+    the same family as ``lsh_candidate_pairs``' ``max_bucket_width``).
+    When set, each (cell, side) keeps only its first ``max_cell_width``
+    intervals in ``(lo, hi, *tiebreak)`` order, bounding any cell's cost
+    at width² whatever the density. It is a RECALL knob, default off
+    (exact semantics): a pair is lost if either member is cut from the
+    pair's first common cell, even if both survive in a later shared cell
+    (the first-cell rule skips later cells by design). Pass tiebreak
+    columns forming a total order per side for deterministic truncation.
 
     Left/right column names must not collide (alias beforehand).
     """
@@ -185,8 +200,20 @@ def interval_overlap_join(
             ).alias("_cell"),
         )
 
-    lc = cells(left, l_lo, l_hi, "_lc0")
-    rc = cells(right, r_lo, r_hi, "_rc0")
+    def cap(df, lo, hi, tiebreak):
+        if max_cell_width is None:
+            return df
+        w = Window.partitionBy("_cell").orderBy(
+            F.col(lo), F.col(hi), *[F.col(c) for c in (tiebreak or [])]
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_cell_width)
+            .drop("_rn")
+        )
+
+    lc = cap(cells(left, l_lo, l_hi, "_lc0"), l_lo, l_hi, l_tiebreak)
+    rc = cap(cells(right, r_lo, r_hi, "_rc0"), r_lo, r_hi, r_tiebreak)
     return (
         lc.join(rc, "_cell", "inner")
         .filter(F.col("_cell") == F.greatest(F.col("_lc0"), F.col("_rc0")))

@@ -235,3 +235,34 @@ def test_cms_overestimate_property(spark):
             cell_map[(2, row["b2"])],
         )
         assert est >= row["n"] == true_counts[row["k"]], row["k"]
+
+
+def test_cap_degree_properties(spark):
+    """cap_degree: survivors are a subset of the input edges, every edge
+    is nominated by at least one endpoint's k-smallest list (brute-force
+    check), total edges <= k*N, and a huge k is the identity."""
+    from hive_feature_demo_spark.operators.graph_ops import cap_degree
+
+    nodes, edges = _random_graph(11, 24, 0.35)
+    pairs_df = spark.createDataFrame(edges, "ua long, ub long")
+
+    full = sorted(
+        (r["ua"], r["ub"]) for r in cap_degree(pairs_df, k=10_000).collect()
+    )
+    assert full == sorted(edges)
+
+    k = 3
+    got = sorted((r["ua"], r["ub"]) for r in cap_degree(pairs_df, k=k).collect())
+    assert set(got) <= set(edges)
+    assert len(got) <= k * len(nodes)
+
+    # brute-force nomination semantics
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nominated = set()
+    for u, vs in adj.items():
+        for v in sorted(vs)[:k]:
+            nominated.add((min(u, v), max(u, v)))
+    assert set(got) == nominated

@@ -113,3 +113,32 @@ def test_global_cumsum_equals_bruteforce(spark, rows):
         want[i] = acc
         acc += w
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(_minutes, _minutes), min_size=1, max_size=12),
+    st.lists(st.tuples(_minutes, _minutes), min_size=1, max_size=12),
+)
+def test_interval_overlap_cell_cap_properties(spark, left, right):
+    """max_cell_width: a huge cap reproduces the exact join; a tight cap
+    yields a subset of the exact pairs (recall knob, never false pairs)."""
+    ls = [(i, _ts(min(a, b)), _ts(max(a, b))) for i, (a, b) in enumerate(left)]
+    rs = [(j, _ts(min(a, b)), _ts(max(a, b))) for j, (a, b) in enumerate(right)]
+    ldf = spark.createDataFrame(ls, "lid long, a_lo timestamp, a_hi timestamp")
+    rdf = spark.createDataFrame(rs, "rid long, b_lo timestamp, b_hi timestamp")
+
+    def pairs(**kw):
+        return sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, "a_lo", "a_hi", "b_lo", "b_hi", cell_seconds=CELL,
+                l_tiebreak=["lid"], r_tiebreak=["rid"], **kw,
+            ).collect()
+        )
+
+    exact = pairs()
+    assert pairs(max_cell_width=10_000) == exact
+    capped = pairs(max_cell_width=2)
+    assert set(capped) <= set(exact)
