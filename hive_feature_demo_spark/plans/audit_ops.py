@@ -4141,16 +4141,23 @@ def _pois_case_sql(u: str) -> str:
     "q318_poisson_bootstrap_ci",
     oracle=f"""
     WITH reps AS (SELECT b FROM generate_series(0, {_BOOT_B - 1}) g(b)),
+    -- md5 and the uniform are hoisted into their own subquery columns:
+    -- inlining the md5 expression into the 15-digit hex parse and that
+    -- into the 9-threshold CASE ladder re-evaluated the md5 ~135x/row
+    -- (55 s at sf0.1 vs 5.5 s hoisted, identical values)
     weighted AS (
-      SELECT r.b,
-             {_pois_case_sql(
-                 "(" + sql_hex_to_int(
-                     "md5(CAST(o.o_orderkey AS VARCHAR) || '_' || CAST(r.b AS VARCHAR))",
-                     "1", 15,
-                 ) + " + 0.5) / 1152921504606846976.0"
-             )} AS w,
-             CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM orders o CROSS JOIN reps r
+      SELECT b, {_pois_case_sql("u")} AS w, cents
+      FROM (
+        SELECT b, ({sql_hex_to_int("h", "1", 15)} + 0.5)
+                  / 1152921504606846976.0 AS u, cents
+        FROM (
+          SELECT r.b,
+                 md5(CAST(o.o_orderkey AS VARCHAR) || '_'
+                     || CAST(r.b AS VARCHAR)) AS h,
+                 CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders o CROSS JOIN reps r
+        )
+      )
     ),
     means AS (
       SELECT b,
@@ -4184,28 +4191,34 @@ def _pois_case_sql(u: str) -> str:
 )
 def q318_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # the per-(order, replicate) draw is the whole cost (B × |orders| md5s):
+    # fan a single-split scan out before the replicate cross join (values
+    # are per-(orderkey, b), partitioning-independent), and hoist md5 and
+    # the uniform into their own projections — codegen does NOT CSE the
+    # md5 across the 10 CASE-ladder branches (measured 10.8 s inline vs
+    # 5.5 s hoisted at sf0.1, identical groups; oracle hoists identically)
+    target = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < target:
+        o = o.repartition(target, "o_orderkey")
     reps = spark.range(0, _BOOT_B).select(F.col("id").cast("int").alias("b"))
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "_", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("decimal(20,0)")
-    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    base = o.crossJoin(F.broadcast(reps)).select(
+        "b",
+        F.md5(
+            F.concat_ws(
+                "_", F.col("o_orderkey").cast("string"), F.col("b").cast("string")
+            )
+        ).alias("_h"),
+        cents.alias("cents"),
+    )
+    hi = F.conv(F.substring("_h", 1, 15), 16, 10).cast("decimal(20,0)")
+    base = base.select(
+        "b", ((hi.cast("double") + 0.5) / F.lit(float(1 << 60))).alias("_u"), "cents"
+    )
     w = F.lit(9)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
-        w = F.when(u <= _POIS_CDF[k], k).otherwise(w)
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
-    weighted = o.crossJoin(F.broadcast(reps)).select(
-        "b", w.alias("w"), cents.alias("cents")
-    )
+        w = F.when(F.col("_u") <= _POIS_CDF[k], k).otherwise(w)
+    weighted = base.select("b", w.alias("w"), "cents")
     means = (
         weighted.groupBy("b")
         .agg(F.sum(F.col("w") * F.col("cents")).alias("swc"), F.sum("w").alias("sw"))
