@@ -68,7 +68,16 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Inverted index: (id, shingle) — distinct word n-grams per doc."""
+    """Inverted index: (id, shingle) — distinct word n-grams per doc.
+
+    The regex tokenize + shingle zip is the CPU-heavy narrow stage of
+    every dedup pipeline; fan a single-split scan out first so it
+    parallelizes (no-op once scan splits exceed cores; the index is
+    per-row, partitioning-independent).
+    """
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
+    df = fan_out_scan(df, id_col)
     return df.select(
         F.col(id_col), F.explode(word_shingles(tokens(text_col), n)).alias("shingle")
     )

@@ -46,3 +46,20 @@ def salted_join(
     )
     out = salted_large.join(salted_small, on + [SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def fan_out_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Spread a narrow-but-expensive pipeline's input across the cluster.
+
+    A small table often arrives as ONE parquet scan split (a few MB), so
+    everything up to the first shuffle — regex tokenization, shingling,
+    per-row hashing, Python kernels — serializes on a single task no
+    matter how many cores exist. Hash-repartition on ``key_cols`` only
+    when the scan yields fewer splits than the session parallelism; at
+    production scale splits already exceed cores and this is a no-op.
+    Only for per-row computations (values independent of partitioning).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(c) for c in key_cols])
+    return df
