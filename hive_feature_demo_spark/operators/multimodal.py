@@ -327,10 +327,9 @@ def _fan_out(df: DataFrame) -> DataFrame:
     parallelism and this is a no-op (values are per-asset, so the result
     is partitioning-independent either way).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, "asset_id")
-    return df
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
+    return fan_out_scan(df, "asset_id")
 
 
 def strip_hashes(assets: DataFrame) -> DataFrame:

@@ -106,12 +106,14 @@ def near_dup_pairs(
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
     )
-    a = withn.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
+    a = fan_out_scan(
+        withn.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_n").alias("na")
+        ),
+        "id_a",
     )
-    target = corpus.sparkSession.sparkContext.defaultParallelism
-    if a.rdd.getNumPartitions() < target:
-        a = a.repartition(target, "id_a")
     b = withn.select(
         F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")
     )

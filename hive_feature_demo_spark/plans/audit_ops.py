@@ -4197,9 +4197,9 @@ def q318_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the uniform into their own projections — codegen does NOT CSE the
     # md5 across the 10 CASE-ladder branches (measured 10.8 s inline vs
     # 5.5 s hoisted at sf0.1, identical groups; oracle hoists identically)
-    target = spark.sparkContext.defaultParallelism
-    if o.rdd.getNumPartitions() < target:
-        o = o.repartition(target, "o_orderkey")
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
+    o = fan_out_scan(o, "o_orderkey")
     reps = spark.range(0, _BOOT_B).select(F.col("id").cast("int").alias("b"))
     cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     base = o.crossJoin(F.broadcast(reps)).select(
