@@ -155,6 +155,22 @@ def test_salted_join_equals_plain_join(spark):
     assert lp == ls
 
 
+def test_fan_out_scan_gates_on_parallelism(spark):
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
+    target = spark.sparkContext.defaultParallelism
+    # single-split input: fans out to the session parallelism
+    narrow = spark.range(0, 1000, 1, 1).select(F.col("id").alias("k"))
+    assert narrow.rdd.getNumPartitions() == 1
+    fanned = fan_out_scan(narrow, "k")
+    assert fanned.rdd.getNumPartitions() == target
+    # row-identical (per-row pipelines only, so set equality is the contract)
+    assert sorted(r.k for r in fanned.collect()) == list(range(1000))
+    # already-wide input: no-op, the repartition shuffle is NOT added
+    wide = spark.range(0, 1000, 1, target).select(F.col("id").alias("k"))
+    assert fan_out_scan(wide, "k") is wide
+
+
 def test_write_compacted_sizes_file_count(spark, sf_dir, tmp_path):
     from hive_feature_demo_spark.catalog import table
     from hive_feature_demo_spark.sources.writers import write_compacted
