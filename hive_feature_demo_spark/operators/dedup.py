@@ -70,7 +70,8 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Inverted index: (id, shingle) — distinct word n-grams per doc.
 
-    The regex tokenize + shingle zip is the CPU-heavy narrow stage of
+    The whitespace tokenize (textops.tokens) + shingle zip is the
+    CPU-heavy narrow stage of
     every dedup pipeline; fan a single-split scan out first so it
     parallelizes (no-op once scan splits exceed cores; the index is
     per-row, partitioning-independent).
@@ -445,10 +446,15 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the shuffle but paid ~6 s of whole-stage-codegen compile for the 64
     CASE-WHEN aggregates. This packed form keeps codegen narrow: sf0.01
     cold 1.5 s (vs 7.2 s for 64-agg) / warm 0.39 s (vs 0.68 s), and the
-    16-bit fields are exact for docs up to 65535 distinct tokens (corpus
+    16-bit fields are exact for docs up to 32767 distinct tokens (corpus
     max ~200; the count(*) guard below raises beyond the bound rather
-    than silently wrapping). Output verified bit-identical to the
-    exploded formulation via exceptAll both ways.
+    than silently wrapping). The bound is 32767, not 65535: once the
+    top field's count reaches 32768 the packed SIGNED long sum sets bit
+    63 — harmless under default Spark (extraction masks 16 bits) but an
+    ArithmeticException under spark.sql.ansi.enabled=true BEFORE the
+    guard fires, so the guard is pinned to the range that is safe under
+    BOTH modes. Output verified bit-identical to the exploded
+    formulation via exceptAll both ways.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
@@ -472,8 +478,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sums = toks.groupBy(id_col).agg(*aggs)
     # bit j of nibble i set iff 2*count_field > n_tok; nibble value =
     # Σ_{r<4} bit << r; hex char lookup per nibble. assert_true guards
-    # the 16-bit field bound (docs with >65535 distinct tokens must
-    # fail loudly, not wrap counts).
+    # the packed-field bound (docs with >32767 distinct tokens must fail
+    # loudly, not wrap counts — 32767, not 65535, so the SUM also stays
+    # below the signed-long bit-63 threshold that ANSI mode rejects).
     nib_hex = [
         F.expr(
             "substring('0123456789abcdef', CAST("
@@ -490,8 +497,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.when(
             F.assert_true(
-                F.col("n_tok") <= F.lit(65535),
-                F.lit("simhash64: >65535 distinct tokens overflows packed counts"),
+                F.col("n_tok") <= F.lit(32767),
+                F.lit("simhash64: >32767 distinct tokens overflows packed counts"),
             ).isNull(),
             F.concat(*nib_hex),
         ).alias("simhash"),

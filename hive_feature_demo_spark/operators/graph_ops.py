@@ -39,9 +39,17 @@ def cap_degree(pairs: DataFrame, k: int, u_col: str = "ua", v_col: str = "ub") -
     exceed 2k by being nominated widely, which AQE skew-join absorbs). A
     RECALL/structure knob, never applied by default: capped
     cores/communities are a subgraph's, not the full graph's.
+    Nominations are over DISTINCT neighbors (the edge list is
+    deduplicated after symmetrization), so multigraph input cannot burn
+    slots on repeats. Oracle-replayed by q328.
     """
-    sym = pairs.select(F.col(u_col).alias("u"), F.col(v_col).alias("v")).unionAll(
-        pairs.select(F.col(v_col).alias("u"), F.col(u_col).alias("v"))
+    sym = (
+        pairs.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .unionAll(pairs.select(F.col(v_col).alias("u"), F.col(u_col).alias("v")))
+        # dedup BEFORE ranking: duplicate input edges (multigraph input)
+        # must not occupy nomination slots — row_number counts rows, so a
+        # repeated (u, v) would silently shrink the effective k
+        .distinct()
     )
     w = Window.partitionBy("u").orderBy("v")
     nominated = (

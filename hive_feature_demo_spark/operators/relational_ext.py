@@ -180,10 +180,21 @@ def interval_overlap_join(
     (exact semantics): a pair is lost if either member is cut from the
     pair's first common cell, even if both survive in a later shared cell
     (the first-cell rule skips later cells by design). Pass tiebreak
-    columns forming a total order per side for deterministic truncation.
+    columns forming a total order per side — REQUIRED when the cap is
+    set: without a total order the row_number truncation keeps an
+    arbitrary subset of (lo, hi)-tied intervals, so results would vary
+    across runs/partitionings (raised here rather than discovered as a
+    flaky diff downstream; lsh_candidate_pairs gets this for free from
+    unique doc ids). Oracle-replayed by q327.
 
     Left/right column names must not collide (alias beforehand).
     """
+    if max_cell_width is not None and (not l_tiebreak or not r_tiebreak):
+        raise ValueError(
+            "interval_overlap_join: max_cell_width requires l_tiebreak and "
+            "r_tiebreak columns forming a total order per side — the capped "
+            "truncation is otherwise nondeterministic on (lo, hi) ties"
+        )
     def cells(df, lo, hi, c0):
         return df.select(
             "*",

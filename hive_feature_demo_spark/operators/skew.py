@@ -48,7 +48,9 @@ def salted_join(
     return out.drop(SALT_COL)
 
 
-def fan_out_scan(df: DataFrame, *key_cols: str) -> DataFrame:
+def fan_out_scan(
+    df: DataFrame, *key_cols: str, assume_splits: int | None = None
+) -> DataFrame:
     """Spread a narrow-but-expensive pipeline's input across the cluster.
 
     A small table often arrives as ONE parquet scan split (a few MB), so
@@ -58,8 +60,17 @@ def fan_out_scan(df: DataFrame, *key_cols: str) -> DataFrame:
     when the scan yields fewer splits than the session parallelism; at
     production scale splits already exceed cores and this is a no-op.
     Only for per-row computations (values independent of partitioning).
+
+    Probe cost: ``df.rdd.getNumPartitions()`` forces one analysis +
+    physical-planning pass of the upstream plan (no execution). Every
+    current call site probes a just-read table scan exactly once per
+    query, where that is microseconds; a caller sitting mid-pipeline on
+    a complex upstream plan — or inside an iterative loop — should pass
+    ``assume_splits`` (the known/estimated upstream split count, e.g.
+    from the source's file listing) to skip the probe entirely.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits = assume_splits if assume_splits is not None else df.rdd.getNumPartitions()
+    if splits < target:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df

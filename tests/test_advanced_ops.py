@@ -266,3 +266,23 @@ def test_cap_degree_properties(spark):
         for v in sorted(vs)[:k]:
             nominated.add((min(u, v), max(u, v)))
     assert set(got) == nominated
+
+
+def test_cap_degree_multigraph_duplicates_do_not_burn_slots(spark):
+    """Duplicate input edges must not occupy nomination slots: the
+    symmetrized list is deduplicated before ranking, so a multigraph
+    caps identically to its simple-graph projection (r6 ADVICE item 3)."""
+    from hive_feature_demo_spark.operators.graph_ops import cap_degree
+
+    # node 0 has neighbors 1..5; edge (0,1) repeated 4x. With k=3 and no
+    # dedup, the repeats would consume 0's slots and push 2,3 out.
+    simple = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5)]
+    multi = simple + [(0, 1)] * 3
+    mdf = spark.createDataFrame(multi, "ua long, ub long")
+    sdf = spark.createDataFrame(simple, "ua long, ub long")
+    k = 3
+    got_multi = sorted((r["ua"], r["ub"]) for r in cap_degree(mdf, k=k).collect())
+    got_simple = sorted((r["ua"], r["ub"]) for r in cap_degree(sdf, k=k).collect())
+    assert got_multi == got_simple
+    # 0 nominates 1,2,3; 4 and 5 each nominate 0 -> all five edges survive
+    assert got_multi == simple

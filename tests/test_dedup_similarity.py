@@ -64,6 +64,21 @@ def test_simhash_properties(docs_df):
     assert hamming(fp[1], fp[4]) < hamming(fp[1], fp[5])
 
 
+def test_simhash_token_bound_guard(spark):
+    """Docs beyond 32767 distinct tokens must fail LOUDLY — 32767 (not
+    65535) so the packed signed-long SUM also never sets bit 63, which
+    ANSI mode would reject before any 16-bit-field wrap (r6 ADVICE 1)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    big = " ".join(f"t{i}" for i in range(32768))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="32767"):
+        dedup.simhash64(df, "doc_id", "text").collect()
+    ok = " ".join(f"t{i}" for i in range(1000))
+    df2 = spark.createDataFrame([(1, ok)], "doc_id long, text string")
+    assert len(dedup.simhash64(df2, "doc_id", "text").collect()) == 1
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0]),
     (1, [1.0, 0.0, 0.0]),     # identical to 0

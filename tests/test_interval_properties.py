@@ -142,3 +142,26 @@ def test_interval_overlap_cell_cap_properties(spark, left, right):
     assert pairs(max_cell_width=10_000) == exact
     capped = pairs(max_cell_width=2)
     assert set(capped) <= set(exact)
+
+
+def test_interval_overlap_cap_requires_tiebreaks(spark):
+    """max_cell_width without a per-side total order is rejected up
+    front — (lo, hi) ties would make the truncation nondeterministic
+    (r6 ADVICE item 2)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, _ts(0), _ts(10))], "lid long, a_lo timestamp, a_hi timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(1, _ts(0), _ts(10))], "rid long, b_lo timestamp, b_hi timestamp"
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        interval_overlap_join(
+            df, rdf, "a_lo", "a_hi", "b_lo", "b_hi", max_cell_width=2
+        )
+    with pytest.raises(ValueError, match="tiebreak"):
+        interval_overlap_join(
+            df, rdf, "a_lo", "a_hi", "b_lo", "b_hi",
+            max_cell_width=2, l_tiebreak=["lid"],  # right side still unordered
+        )
