@@ -1782,3 +1782,74 @@ def q254_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _overlap_edges(spark, sf_dir)
     return k_core_rounds(pairs, k=2, rounds=_KCORE_ROUNDS).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# q328 — the CAPPED graph-construction path (r6 verdict ask #1):
+# graph_ops.cap_degree(k=8) over the session-overlap edges, then the
+# same bounded-round 2-core peel as q254. cap_degree bounds the edge
+# set BEFORE iteration — each node nominates its 8 smallest-id DISTINCT
+# neighbors and an edge survives if either endpoint nominates it
+# (nominations ≤ kN, so every peel round shuffles a linear edge set
+# whatever the raw graph density). The oracle replays the nomination
+# verbatim — symmetrize, DISTINCT, per-node ROW_NUMBER in neighbor-id
+# order, prefix ≤ 8, least/greatest re-canonicalization, DISTINCT —
+# then runs q254's round CTEs on the capped edges, so both the
+# deterministic nomination SELECTION and the survivor core it induces
+# are hash-gated. The cap genuinely bites at both correctness SFs
+# (median overlap degree 17 at sf0.01, 180 at sf0.1 vs k=8).
+# ---------------------------------------------------------------------------
+
+_Q328_K = 8
+
+
+def _q328_oracle() -> str:
+    rounds = "".join(
+        f"""
+    d{t} AS (
+      SELECT e.u, COUNT(*) AS d
+      FROM e JOIN a{t - 1} x ON e.u = x.u JOIN a{t - 1} y ON e.v = y.u
+      GROUP BY e.u
+    ),
+    a{t} AS (SELECT u FROM d{t} WHERE d >= 2),"""
+        for t in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"""
+    {_SESS_SQL},
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT ua AS u, ub AS v FROM pairs
+        UNION ALL SELECT ub, ua FROM pairs
+      )
+    ),
+    nom AS (
+      SELECT LEAST(u, v) AS ua, GREATEST(u, v) AS ub FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rn
+        FROM sym
+      ) WHERE rn <= {_Q328_K}
+    ),
+    ce AS (SELECT DISTINCT ua, ub FROM nom),
+    e AS (SELECT ua AS u, ub AS v FROM ce
+          UNION ALL SELECT ub, ua FROM ce),
+    a0 AS (SELECT DISTINCT u FROM e),{rounds}
+    df AS (
+      SELECT e.u, COUNT(*) AS d
+      FROM e JOIN a{_KCORE_ROUNDS} x ON e.u = x.u
+             JOIN a{_KCORE_ROUNDS} y ON e.v = y.u
+      GROUP BY e.u
+    )
+    SELECT a.u AS user_id,
+           CAST(COALESCE(df.d, 0) AS BIGINT) AS core_degree,
+           COALESCE(df.d, 0) >= 2 AS stable
+    FROM a{_KCORE_ROUNDS} a LEFT JOIN df ON df.u = a.u
+    ORDER BY user_id
+    """
+
+
+@register("q328_capped_overlap_kcore", oracle=_q328_oracle(), category="relational")
+def q328_capped_overlap_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.operators.graph_ops import cap_degree, k_core_rounds
+
+    pairs = _overlap_edges(spark, sf_dir)
+    capped = cap_degree(pairs, k=_Q328_K)
+    return k_core_rounds(capped, k=2, rounds=_KCORE_ROUNDS).orderBy("user_id")

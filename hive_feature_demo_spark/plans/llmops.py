@@ -1222,3 +1222,48 @@ def q321_lsh_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("theory_bps", expr.cast("long"))
         .orderBy("jaccard_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q326 — the CAPPED LSH candidate path (r6 verdict ask #1): exercises
+# lsh_candidate_pairs(max_bucket_width=2) — the hot-bucket escape hatch
+# that bounds the band-bucket self-join at cap·corpus instead of
+# Σ bucket² — and pins its EXACT deterministic selection (the min-id
+# prefix of each (band, digest) bucket in doc_id order) against a DuckDB
+# replay of the same row_number truncation. The cap genuinely bites on
+# this corpus: 25 exact candidate pairs shrink to 23 at sf0.01 and
+# 276 → 238 at sf0.1, so a tie-break or ordering regression in the
+# capped path cannot hash-match. q86/q95/q304 keep replaying the exact
+# (uncapped) variant; this query is the capped path's own oracle gate.
+# ---------------------------------------------------------------------------
+
+_Q326_CAP = 2
+
+
+@register(
+    "q326_capped_lsh_candidates",
+    oracle=f"""
+    WITH {_SIG_CTE},
+    buckets AS (
+{_BUCKETS_SQL}
+    ),
+    capped AS (
+      SELECT doc_id, band, bd FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bd
+                                     ORDER BY doc_id) AS rk
+        FROM buckets
+      ) WHERE rk <= {_Q326_CAP}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM capped a JOIN capped b ON a.band = b.band AND a.bd = b.bd
+    WHERE a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+    category="llmops",
+)
+def q326_capped_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n=3, n_perm=16)
+    return dedup.lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows=4, max_bucket_width=_Q326_CAP
+    ).orderBy("id_a", "id_b")

@@ -1109,3 +1109,130 @@ def q320_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q327 — the CAPPED interval-overlap path (r6 verdict ask #1): q160's
+# session-overlap join with interval_overlap_join(max_cell_width=16) —
+# the density escape hatch for the "×10 traffic in the same time range"
+# regime where per-cell pair space grows quadratically. The cap keeps
+# each hour-cell's first 16 sessions in (s_start, s_end, user_id,
+# session_seq) order — a total order, so the truncation is
+# deterministic — and the DuckDB oracle replays the WHOLE capped
+# pipeline: cell explosion (epoch_us // 3.6e9 == floor(unix_ts/3600) on
+# positive epochs), the per-cell ROW_NUMBER prefix, the first-common-
+# cell rule (cell == greatest of the two start cells — still applied to
+# the SURVIVORS, so a pair dies when either member is cut from its
+# first shared cell even if both survive later ones), and the exact
+# overlap predicate. The cap genuinely bites at both correctness SFs
+# (max hour-cell population 29 at sf0.01, 168 at sf0.1 vs cap 16), so
+# an ordering/tie-break regression in the capped path cannot
+# hash-match. q160 keeps replaying the exact (uncapped) semantics.
+# ---------------------------------------------------------------------------
+
+_Q327_CAP = 16
+_Q327_CELL_US = 3600 * 1_000_000
+
+
+@register(
+    "q327_capped_session_overlap",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM marked
+    ), s AS (
+      SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM sess GROUP BY user_id, session_seq
+    ), c AS (
+      SELECT user_id, session_seq, s_start, s_end,
+             epoch_us(s_start) // {_Q327_CELL_US} AS c0,
+             unnest(generate_series(epoch_us(s_start) // {_Q327_CELL_US},
+                                    epoch_us(s_end) // {_Q327_CELL_US})) AS cell
+      FROM s
+    ), capped AS (
+      SELECT user_id, session_seq, s_start, s_end, c0, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY cell
+                 ORDER BY s_start, s_end, user_id, session_seq) AS rn
+        FROM c
+      ) WHERE rn <= {_Q327_CAP}
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM capped a JOIN capped b
+      ON a.cell = b.cell
+     AND a.cell = GREATEST(a.c0, b.c0)
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+     AND a.user_id < b.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    category="relational",
+)
+def q327_capped_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hive_feature_demo_spark.functions.temporal import epoch_micros
+    from hive_feature_demo_spark.operators.relational_ext import interval_overlap_join
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_micros(F.col("ts")) - epoch_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = (
+        marked.withColumn("session_seq", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    a = sessions.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_seq").alias("a_seq"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+    )
+    b = sessions.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_seq").alias("b_seq"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a,
+        b,
+        "a_start",
+        "a_end",
+        "b_start",
+        "b_end",
+        cell_seconds=3600,
+        max_cell_width=_Q327_CAP,
+        l_tiebreak=["user_a", "a_seq"],
+        r_tiebreak=["user_b", "b_seq"],
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy("user_a", "user_b")
+    )
