@@ -79,6 +79,26 @@ SCALE2 = [
 
 _X10_COPIES = 10
 
+#: scale-3 suite (r6 verdict ask #4): a ×100 point for cheap headline
+#: representatives — scan-agg, broadcast join, window, exact dedup,
+#: sessionization, inverted-index text, range-frame window. The ×10
+#: audit caught q249's bend that sf0.1 hid; a third decade catches
+#: anything whose mild ×10 growth (q42 1.8×, q148 2.4×, q64 1.8×)
+#: compounds. The interval-graph family (q159/q160/q254/q274) is
+#: deliberately excluded: its ×100-workload behavior under densified
+#: traffic is already characterized and knob-bounded (PERF.md round 6).
+SCALE3 = [
+    "q01_pricing_summary",
+    "q02_segment_revenue",
+    "q07_topk_per_customer",
+    "q30_dedup_exact_clusters",
+    "q42_sessionization",
+    "q64_tfidf_top_terms",
+    "q148_rolling_range_window",
+]
+
+_X100_COPIES = 100
+
 
 def _write_single_file(df, out_dir: str, name: str, single: bool = False) -> None:
     """Write df as <name>.parquet. ``single=True`` produces ONE file (the
@@ -121,8 +141,13 @@ def rename_tokens(p, i: int):
     return p.withColumn("text", F.concat_ws(" ", tagged))
 
 
-def _build_x10(spark, src_dir: str, out_dir: str) -> None:
-    """Materialize a ~10× concatenation of src_dir for the scale-2 suite.
+def _build_xn(
+    spark, src_dir: str, out_dir: str, copies: int, single_events: bool = True
+) -> None:
+    """Materialize a ~``copies``× concatenation of src_dir (scale-2 uses
+    ×10 with a single-file events layout for the stream readers; scale-3
+    uses ×100 with multi-file events — no streaming queries there, and a
+    directory scan parallelizes across files).
 
     Key columns are offset per copy so FK joins keep their selectivity
     (orders↔lineitem share the same orderkey offset; events shift
@@ -153,7 +178,7 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
 
     def replicate(df, offsets: dict[str, int], extra=None):
         parts = []
-        for i in range(_X10_COPIES):
+        for i in range(copies):
             p = df
             for c, off in offsets.items():
                 p = p.withColumn(c, F.col(c) + F.lit(i * off))
@@ -191,7 +216,7 @@ def _build_x10(spark, src_dir: str, out_dir: str) -> None:
         ),
         out_dir,
         "events",
-        single=True,  # the stream reader's pathGlobFilter matches one FILE
+        single=single_events,  # stream reader's pathGlobFilter needs one FILE
     )
 
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
@@ -243,6 +268,12 @@ def _run_suite(spark, names, sf_dir, runs, timings, errors, core=None) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # machine-load bookkeeping (r6 verdict ask #3): r2's 64 s and r6's
+    # 29.7 s driver benches were both contention-polluted and needed
+    # after-the-fact forensics. Idle criterion (PERF.md): load_start[0]
+    # / cpus < ~0.3; above that, treat wall-clock drift vs the previous
+    # round as contention first, plan regression second.
+    load_start = list(os.getloadavg())
     spark = get_spark(app_name="bench")
 
     # warmup: JVM + whole-stage codegen + shuffle machinery + parquet
@@ -279,6 +310,7 @@ def main() -> None:
 
     # second scale point: top-5 on a ~10× concatenation (≈ sf1 from
     # sf0.1). Built once and reused; disable with SPARK_GRAFT_BENCH_SCALE2=0.
+    base1x = dict(timings)
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE2", "1") != "0":
         x10_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "data", "bench_x10"
@@ -286,14 +318,13 @@ def main() -> None:
         try:
             if not os.path.exists(os.path.join(x10_dir, "embeddings.parquet")):
                 t0 = time.perf_counter()
-                _build_x10(spark, sf_dir, x10_dir)
+                _build_xn(spark, sf_dir, x10_dir, _X10_COPIES)
                 print(
                     f"bench: built x10 dataset in {time.perf_counter() - t0:.1f}s",
                     file=sys.stderr,
                 )
             # 1× reference for scale-2 queries outside the headline set,
             # so every scale-2 entry gets a growth factor
-            base1x = dict(timings)
             extra = [n for n in SCALE2 if n not in base1x]
             if extra:
                 _run_suite(spark, extra, sf_dir, runs, base1x, errors)
@@ -319,6 +350,69 @@ def main() -> None:
             errors["_scale2_build"] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: scale2 FAILED: {errors['_scale2_build']}", file=sys.stderr)
 
+    # third scale point (r6 verdict ask #4): ×100 for the cheap
+    # representatives — growth factors recorded against BOTH the 1× and
+    # the ×10 timing of the same query, so a compounding super-linearity
+    # shows up as growth_vs_x10 >> 10 even when sf0.1 hides it. Single
+    # run per query (a growth probe, not the timing contract); disable
+    # with SPARK_GRAFT_BENCH_SCALE3=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE3", "1") != "0":
+        x100_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "bench_x100"
+        )
+        try:
+            if not os.path.exists(os.path.join(x100_dir, "lineitem.parquet")):
+                t0 = time.perf_counter()
+                _build_xn(spark, sf_dir, x100_dir, _X100_COPIES, single_events=False)
+                print(
+                    f"bench: built x100 dataset in {time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                )
+            extra3 = [n for n in SCALE3 if n not in base1x]
+            if extra3:
+                _run_suite(spark, extra3, sf_dir, runs, base1x, errors)
+            t3: dict[str, float] = {}
+            s3_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3_RUNS", "1")))
+            _run_suite(spark, SCALE3, x100_dir, s3_runs, t3, errors)
+            x10_t = out.get("scale2", {}).get("queries", {})
+            out["scale3"] = {
+                "sf": (float(sf) if sf.replace(".", "").isdigit() else 0.1)
+                * _X100_COPIES,
+                "queries": t3,
+                "growth_vs_1x": {
+                    n: round(t3[n] / base1x[n], 2)
+                    for n in t3
+                    if base1x.get(n, 0) > 0
+                },
+                "growth_vs_x10": {
+                    n: round(t3[n] / x10_t[n], 2)
+                    for n in t3
+                    if x10_t.get(n, 0) > 0
+                },
+                "total": round(sum(t3.values()), 3),
+            }
+        except Exception as exc:  # scale-3 must never erase the headline line
+            errors["_scale3_build"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: scale3 FAILED: {errors['_scale3_build']}", file=sys.stderr)
+
+    # adversarial-density stress row (r6 verdict ask #7, opt-in): the
+    # r5-style bag-of-words-preserving ×10 documents — short/repetitive
+    # docs stay TRUE near-dups across copies, so candidate density is
+    # pathological by construction. Measures the q86 candidate+verify
+    # stages with and without the per-bucket cap so the escape hatch's
+    # effect stays a measured number, not a one-off PERF.md table.
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "0") == "1":
+        try:
+            out["stress"] = _run_stress(spark, sf_dir)
+        except Exception as exc:
+            errors["_stress"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: stress FAILED: {errors['_stress']}", file=sys.stderr)
+
+    out["load"] = {
+        "start": [round(v, 2) for v in load_start],
+        "end": [round(v, 2) for v in os.getloadavg()],
+        "cpus": os.cpu_count(),
+    }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
