@@ -93,11 +93,19 @@ SCALE3 = [
     "q07_topk_per_customer",
     "q30_dedup_exact_clusters",
     "q42_sessionization",
+    "q61_lsh_ann_topk",
     "q64_tfidf_top_terms",
+    "q86_near_dup_clusters",
     "q148_rolling_range_window",
 ]
 
 _X100_COPIES = 100
+
+#: sentinel written by _build_xn AFTER the last table lands. The
+#: completeness gate checks THIS, not an individual table file: gating on
+#: lineitem.parquet (written third of six) would treat a build that
+#: crashed mid-way as complete forever (r7 ADVICE item 2).
+_BUILD_SENTINEL = "_BUILD_SUCCESS"
 
 
 def _write_single_file(df, out_dir: str, name: str, single: bool = False) -> None:
@@ -139,6 +147,114 @@ def rename_tokens(p, i: int):
     w = F.split(F.col("text"), " ")
     tagged = F.transform(w, lambda x: F.concat(x, F.lit(f"·{i}")))
     return p.withColumn("text", F.concat_ws(" ", tagged))
+
+
+def shuffle_words(p, i: int):
+    """Copy-i document transform for the STRESS corpus: md5-keyed word
+    SHUFFLE — the bag of words is PRESERVED, only the order changes. This
+    is deliberately the r5 ×10 generator that `rename_tokens` replaced:
+    short/repetitive docs keep (nearly) all their shingles across copies,
+    so every copy of such a doc is a TRUE near-dup of every other copy and
+    candidate-pair density is pathological by construction (276 pairs at
+    1× became 2.8M at ×10 in the r6 measurement). Kept on purpose as the
+    adversarial-density regime for `_run_stress`."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return p
+    w = F.split(F.col("text"), " ")
+    keyed = F.transform(
+        w,
+        lambda x: F.struct(
+            F.md5(F.concat(x, F.lit(f"_{i}"))).alias("k"), x.alias("w")
+        ),
+    )
+    shuffled = F.transform(F.array_sort(keyed), lambda s: s["w"])
+    return p.withColumn("text", F.concat_ws(" ", shuffled))
+
+
+def _run_stress(
+    spark,
+    sf_dir: str,
+    out_dir: str | None = None,
+    copies: int | None = None,
+    cap: int = 16,
+) -> dict:
+    """Adversarial-density stress row (r6 verdict ask #7, opt-in via
+    SPARK_GRAFT_BENCH_STRESS=1): measure q86's candidate-generation and
+    verify stages on a hot corpus, with and without the per-bucket cap,
+    so the escape hatch's effect stays a measured number instead of a
+    one-off PERF.md table (the r6 numbers: candidates 2.80M → 222k,
+    verify 19.3 s → 5.2 s at cap=16).
+
+    The corpus is ``copies``× documents under the bag-preserving word
+    shuffle (see `shuffle_words`), built once under data/bench_stress
+    (sentinel-gated like the other bench corpora). Shingle index and
+    minhash signatures are SHARED between the capped and uncapped
+    configs (localCheckpoint barriers), so each recorded stage times
+    only itself.
+    """
+    from pyspark.sql import functions as F
+
+    from hive_feature_demo_spark.operators import dedup
+
+    copies = copies or int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_COPIES", "10"))
+    out_dir = out_dir or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data", "bench_stress"
+    )
+    sentinel = os.path.join(out_dir, _BUILD_SENTINEL)
+    if not _is_built(out_dir, sf_dir, copies):
+        os.makedirs(out_dir, exist_ok=True)
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        hi = docs.agg(F.max("doc_id")).first()[0] or 1
+        off = 1
+        while off <= hi:
+            off *= 10
+        parts = [
+            shuffle_words(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * off)), i
+            )
+            for i in range(copies)
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        _write_single_file(union, out_dir, "documents")
+        with open(sentinel, "w") as f:
+            f.write(_build_tag(sf_dir, copies))
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+
+    t0 = time.perf_counter()
+    sh = dedup.shingle_index(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures_from_index(sh, "doc_id", 16).localCheckpoint(
+        eager=True
+    )
+    result: dict = {
+        "copies": copies,
+        "docs": docs.count(),
+        "cap": cap,
+        "shared_prep_sec": round(time.perf_counter() - t0, 2),
+        "configs": {},
+    }
+    for label, cap_v in (("uncapped", None), (f"cap{cap}", cap)):
+        t0 = time.perf_counter()
+        cands = dedup.lsh_candidate_pairs(
+            sig, "doc_id", 4, 4, max_bucket_width=cap_v
+        ).localCheckpoint(eager=True)
+        n_cand = cands.count()
+        cand_sec = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        verified = dedup.verify_jaccard_on_candidates(
+            sh, cands, "doc_id", 0.5
+        ).localCheckpoint(eager=True)
+        n_ver = verified.count()
+        result["configs"][label] = {
+            "candidates": n_cand,
+            "candidates_sec": cand_sec,
+            "verified_pairs": n_ver,
+            "verify_sec": round(time.perf_counter() - t0, 2),
+        }
+    return result
 
 
 def _build_xn(
@@ -233,6 +349,69 @@ def _build_xn(
     _write_single_file(
         replicate(emb, {"vec_id": next_pow10(emb, "vec_id")}), out_dir, "embeddings"
     )
+    with open(os.path.join(out_dir, _BUILD_SENTINEL), "w") as f:
+        f.write(_build_tag(src_dir, copies))
+
+
+def _build_tag(src_dir: str, copies: int) -> str:
+    return f"copies={copies}\nsrc={os.path.abspath(src_dir)}\n"
+
+
+def _is_built(out_dir: str, src_dir: str, copies: int) -> bool:
+    """True iff a build with THIS (src, copies) completed in out_dir.
+    The sentinel content is compared, not just its existence, so a
+    corpus built from a different SF (e.g. a tiny smoke run) or copy
+    count is rebuilt instead of silently reused."""
+    try:
+        with open(os.path.join(out_dir, _BUILD_SENTINEL)) as f:
+            return f.read() == _build_tag(src_dir, copies)
+    except OSError:
+        return False
+
+
+def _ensure_built(
+    spark, src_dir: str, out_dir: str, copies: int, single_events: bool = True
+) -> None:
+    """Build the ×``copies`` corpus unless the sentinel says a build
+    COMPLETED there from the same source. A directory without a matching
+    sentinel — including one holding every table file because a previous
+    build died during its last write — is rebuilt (table writes are
+    mode=overwrite, so rebuilding into a partial dir is safe)."""
+    if _is_built(out_dir, src_dir, copies):
+        return
+    t0 = time.perf_counter()
+    _build_xn(spark, src_dir, out_dir, copies, single_events=single_events)
+    print(
+        f"bench: built x{copies} dataset in {time.perf_counter() - t0:.1f}s",
+        file=sys.stderr,
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _warm_tables(spark, sf_dir: str) -> float:
+    """One untimed full scan of every parquet table in ``sf_dir`` so the
+    timed scale-3 runs measure PLANS on a page-cache-warm corpus, not OS
+    cache state (r7 verdict ask #3: the driver measured q64 ×100 growth
+    at 9.3× warm while a cache-cold run of identical plans measured 33×).
+    Returns the warm-pass wall seconds (recorded, never added to query
+    timings)."""
+    t0 = time.perf_counter()
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            spark.read.parquet(os.path.join(sf_dir, f)).write.format("noop").mode(
+                "overwrite"
+            ).save()
+    return round(time.perf_counter() - t0, 2)
 
 
 def _run_suite(spark, names, sf_dir, runs, timings, errors, core=None) -> None:
@@ -316,13 +495,7 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "data", "bench_x10"
         )
         try:
-            if not os.path.exists(os.path.join(x10_dir, "embeddings.parquet")):
-                t0 = time.perf_counter()
-                _build_xn(spark, sf_dir, x10_dir, _X10_COPIES)
-                print(
-                    f"bench: built x10 dataset in {time.perf_counter() - t0:.1f}s",
-                    file=sys.stderr,
-                )
+            _ensure_built(spark, sf_dir, x10_dir, _X10_COPIES)
             # 1× reference for scale-2 queries outside the headline set,
             # so every scale-2 entry gets a growth factor
             extra = [n for n in SCALE2 if n not in base1x]
@@ -361,16 +534,14 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "data", "bench_x100"
         )
         try:
-            if not os.path.exists(os.path.join(x100_dir, "lineitem.parquet")):
-                t0 = time.perf_counter()
-                _build_xn(spark, sf_dir, x100_dir, _X100_COPIES, single_events=False)
-                print(
-                    f"bench: built x100 dataset in {time.perf_counter() - t0:.1f}s",
-                    file=sys.stderr,
-                )
+            _ensure_built(spark, sf_dir, x100_dir, _X100_COPIES, single_events=False)
             extra3 = [n for n in SCALE3 if n not in base1x]
             if extra3:
                 _run_suite(spark, extra3, sf_dir, runs, base1x, errors)
+            # growth probes are single-run, so page-cache state would be
+            # part of the measurement without this untimed warm scan
+            # (cache policy: PERF.md round 8)
+            warm_sec = _warm_tables(spark, x100_dir)
             t3: dict[str, float] = {}
             s3_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3_RUNS", "1")))
             _run_suite(spark, SCALE3, x100_dir, s3_runs, t3, errors)
@@ -378,6 +549,9 @@ def main() -> None:
             out["scale3"] = {
                 "sf": (float(sf) if sf.replace(".", "").isdigit() else 0.1)
                 * _X100_COPIES,
+                "warm_pass": True,
+                "warm_pass_sec": warm_sec,
+                "dataset_bytes": _dir_bytes(x100_dir),
                 "queries": t3,
                 "growth_vs_1x": {
                     n: round(t3[n] / base1x[n], 2)
@@ -415,6 +589,27 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # trailing gate summary (r7 verdict ask #2): the driver archives only
+    # the LAST ~2000 chars of bench stdout, and "value" sits at the JSON
+    # front — BENCH_r06/r07 both lost the headline numbers to truncation.
+    # These are therefore the FINAL keys, headline_total last of all.
+    per_q = sorted(timings.values())
+    n = len(per_q)
+    out["headline_digest"] = (
+        {
+            "n": n,
+            "min": per_q[0],
+            "p25": per_q[n // 4],
+            "median": per_q[n // 2],
+            "p75": per_q[(3 * n) // 4],
+            "max": per_q[-1],
+        }
+        if n
+        else {"n": 0}
+    )
+    out["headline_errors"] = len(headline_errors)
+    out["headline_core_total"] = out["core_total"]
+    out["headline_total"] = total
     print(json.dumps(out))
     # scale-2 problems are recorded in the JSON but must not fail the
     # bench — the headline suite is the driver's contract

@@ -11,6 +11,8 @@ bijection) and ZERO cross-copy pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 import bench
@@ -87,3 +89,68 @@ def test_x10_transform_is_token_bijection(spark):
         ).collect()
     }
     assert b == r
+
+
+def test_run_stress_smoke(spark, sf_dir, tmp_path):
+    """The SPARK_GRAFT_BENCH_STRESS=1 path must actually run (r7 ADVICE:
+    the gated call shipped referencing an undefined _run_stress, and no
+    test touched the flag). Exercises the real function on a tiny ×4
+    stress corpus: structure, cap monotonicity, and sentinel reuse."""
+    out_dir = str(tmp_path / "stress")
+    res = bench._run_stress(spark, sf_dir, out_dir=out_dir, copies=4, cap=2)
+
+    assert set(res["configs"]) == {"uncapped", "cap2"}
+    unc, cap = res["configs"]["uncapped"], res["configs"]["cap2"]
+    for cfg in (unc, cap):
+        assert {"candidates", "candidates_sec", "verified_pairs", "verify_sec"} <= set(
+            cfg
+        )
+    # the per-bucket cap can only REMOVE candidate pairs, and verify can
+    # only keep a subset of candidates
+    assert cap["candidates"] <= unc["candidates"]
+    assert unc["verified_pairs"] <= unc["candidates"]
+    assert cap["verified_pairs"] <= cap["candidates"]
+    base_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    assert res["docs"] == 4 * base_docs
+
+    # corpus is sentinel-gated: a second run reuses the build
+    sentinel = os.path.join(out_dir, bench._BUILD_SENTINEL)
+    mtime = os.path.getmtime(sentinel)
+    res2 = bench._run_stress(spark, sf_dir, out_dir=out_dir, copies=4, cap=2)
+    assert os.path.getmtime(sentinel) == mtime
+    assert res2["configs"]["uncapped"]["candidates"] == unc["candidates"]
+
+
+def test_xn_build_gated_on_completion_sentinel(spark, sf_dir, tmp_path):
+    """r7 ADVICE item 2: the ×100 gate checked lineitem.parquet — written
+    third of six — so a crash mid-build left a partial dir that every
+    later run treated as complete. _ensure_built must gate on a sentinel
+    written AFTER the last table, and a dir with table files but NO
+    sentinel must be rebuilt."""
+    out_dir = str(tmp_path / "x2")
+    bench._ensure_built(spark, sf_dir, out_dir, copies=2)
+    sentinel = os.path.join(out_dir, bench._BUILD_SENTINEL)
+    assert os.path.exists(sentinel)
+    # sentinel is last: every table landed before it
+    for t in [
+        "region", "nation", "supplier", "part", "customer",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        assert os.path.exists(os.path.join(out_dir, f"{t}.parquet"))
+
+    # complete build: second call is a no-op
+    mtime = os.path.getmtime(sentinel)
+    bench._ensure_built(spark, sf_dir, out_dir, copies=2)
+    assert os.path.getmtime(sentinel) == mtime
+
+    # a sentinel from a different source/copies does NOT count as built
+    # (a tiny smoke-run corpus must never be silently reused for sf0.1)
+    assert not bench._is_built(out_dir, sf_dir, copies=3)
+    assert not bench._is_built(out_dir, "/some/other/sf", copies=2)
+    assert bench._is_built(out_dir, sf_dir, copies=2)
+
+    # simulated crash AFTER lineitem (the old gate's blind spot): files
+    # present, sentinel gone -> must rebuild
+    os.unlink(sentinel)
+    bench._ensure_built(spark, sf_dir, out_dir, copies=2)
+    assert os.path.exists(sentinel)
