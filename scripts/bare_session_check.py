@@ -36,12 +36,18 @@ def main() -> int:
     from tests import oracle
 
     # Deliberately NO confs here — this is the point of the simulation.
-    spark = (
+    # Exception: SPARK_GRAFT_ANSI=1 runs the same harness with
+    # spark.sql.ansi.enabled=true (r7 verdict ask #4: the default-mode
+    # suite can't see ANSI hazards like arithmetic wraps or implicit-cast
+    # strictness; this flag makes an ANSI sweep one env var away).
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("bare-session-check")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.environ.get("SPARK_GRAFT_ANSI", "0") == "1":
+        builder = builder.config("spark.sql.ansi.enabled", "true")
+    spark = builder.getOrCreate()
     con = oracle.duckdb_con(sf_dir)
     queries = entry.queries()
     oracles = entry.oracle_sql()

@@ -14,7 +14,11 @@ wrapper reproduces the driver's isolation model:
   as the single-process selfcheck.
 
 Usage: python scripts/selfcheck_batched.py [--sf DIR] [--out FILE]
-       [--batch N] [--only prefix ...]
+       [--batch N] [--only prefix ...] [--category cat ...]
+
+Set SPARK_GRAFT_ANSI=1 to run the whole sweep with
+spark.sql.ansi.enabled=true in every subprocess (r7 verdict ask #4);
+the summary records the mode.
 """
 
 from __future__ import annotations
@@ -49,10 +53,20 @@ def main() -> int:
         batch_size = int(argv[argv.index("--batch") + 1])
     if "--only" in argv:
         only = argv[argv.index("--only") + 1 :]
+    categories: list[str] = []
+    if "--category" in argv:
+        i = argv.index("--category") + 1
+        while i < len(argv) and not argv[i].startswith("--"):
+            categories.append(argv[i])
+            i += 1
 
     names = sorted(REGISTRY)
     if only:
         names = [n for n in names if any(n.startswith(p) for p in only)]
+    if categories:
+        names = [
+            n for n in names if getattr(REGISTRY[n], "category", None) in categories
+        ]
     isolated = [
         n for n in names if getattr(REGISTRY[n], "category", None) in _ISOLATED_CATEGORIES
     ]
@@ -105,6 +119,7 @@ def main() -> int:
         counts[rec.get("status", "ERR")] = counts.get(rec.get("status", "ERR"), 0) + 1
     summary = {
         "harness": "bare-session subprocess batches; streaming 1-per-process",
+        "ansi": os.environ.get("SPARK_GRAFT_ANSI", "0") == "1",
         "sf_dir": sf_dir,
         "n_queries": len(merged),
         "pass": counts["pass"],
