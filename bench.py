@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR and print ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. The line ENDS with
+headline_digest/headline_errors/headline_core_total/headline_total so a
+consumer that archives only the stdout tail still gets the gate numbers.
 
 Each query is executed to completion (foreach-noop action, results never
 collected to the driver) and timed wall-clock. A warmup pass on the
