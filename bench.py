@@ -222,6 +222,7 @@ def _run_stress(
         for p in parts[1:]:
             union = union.unionByName(p)
         _write_single_file(union, out_dir, "documents")
+        os.sync()  # same writeback isolation as _ensure_built
         with open(sentinel, "w") as f:
             f.write(_build_tag(sf_dir, copies))
     docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
@@ -383,6 +384,11 @@ def _ensure_built(
         return
     t0 = time.perf_counter()
     _build_xn(spark, src_dir, out_dir, copies, single_events=single_events)
+    # flush the build's dirty pages NOW (blocking) instead of letting
+    # background writeback race the timed queries: the first post-rebuild
+    # scale-3 run measured q01 at 33 s vs 6 s steady-state because ~1.5 GB
+    # of freshly written corpus was still flushing during the timed scans
+    os.sync()
     print(
         f"bench: built x{copies} dataset in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,
