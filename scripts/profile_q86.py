@@ -98,35 +98,20 @@ def profile(spark, sf_dir: str) -> dict:
     )
     stats["candidate_pairs"] = cands.count()
 
-    # stage 4: exact-Jaccard verify on candidates only
-    def verify():
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-        sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-        common = (
-            cands.join(sh_a, "id_a")
-            .join(sh_b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("n_common"))
-        )
-        sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-        sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-        return (
-            common.join(sa, "id_a")
-            .join(sb, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                (
-                    F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= 0.5)
-            .localCheckpoint(eager=True)
-        )
-
-    pairs = timed("s4_verify", verify, stages)
+    # stage 4: exact-Jaccard verify on candidates only — the PRODUCTION
+    # path (dedup.verify_jaccard_on_candidates), which semi-joins the
+    # index down to candidate docs first. An earlier inline copy here
+    # predated that r6 restriction and re-shuffled the FULL corpus index
+    # through both verify joins: at ×100 (26M shingle rows, 28.7k
+    # candidates) the stale version measured 93 s where the production
+    # stage costs ~3 s — the profiler must profile what q86 actually runs.
+    pairs = timed(
+        "s4_verify",
+        lambda: dedup.verify_jaccard_on_candidates(
+            sh, cands, "doc_id", 0.5
+        ).localCheckpoint(eager=True),
+        stages,
+    )
     stats["verified_pairs"] = pairs.count()
 
     # stage 5: connected components
