@@ -54,7 +54,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # 8MB, deliberately BELOW Spark's 10MB default: un-hinted sides
+        # bigger than this shuffle instead of broadcasting. Measured on
+        # the ×100 bench corpus (q02): auto-broadcasting a 6M-row orders
+        # projection cost 16.3 s against 6.1 s for the co-shuffled join —
+        # the single-threaded broadcast hash build dominates long before
+        # the relation stops fitting in memory, and on a real cluster a
+        # >10 MB broadcast × 1000 executors is network cost with no
+        # build-side win. Genuine dimension joins stay broadcast: every
+        # dim join in this repo carries an explicit F.broadcast hint
+        # (threshold-immune), tiny sides are under 8MB anyway, and AQE
+        # still locally converts when runtime sizes allow.
+        .config("spark.sql.autoBroadcastJoinThreshold", "8MB")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
