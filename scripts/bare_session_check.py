@@ -47,6 +47,13 @@ def main() -> int:
     )
     if os.environ.get("SPARK_GRAFT_ANSI", "0") == "1":
         builder = builder.config("spark.sql.ansi.enabled", "true")
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS forces a non-default partition count
+    # (r8 verdict ask #6): hash-match correctness must be
+    # partition-count-invariant — the determinism rules (integer-space
+    # math, sorted collections) promise it, this flag sweeps it.
+    sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if sp:
+        builder = builder.config("spark.sql.shuffle.partitions", sp)
     spark = builder.getOrCreate()
     con = oracle.duckdb_con(sf_dir)
     queries = entry.queries()

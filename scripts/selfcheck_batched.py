@@ -18,7 +18,10 @@ Usage: python scripts/selfcheck_batched.py [--sf DIR] [--out FILE]
 
 Set SPARK_GRAFT_ANSI=1 to run the whole sweep with
 spark.sql.ansi.enabled=true in every subprocess (r7 verdict ask #4);
-the summary records the mode.
+set SPARK_GRAFT_SHUFFLE_PARTITIONS=N to force a non-default
+spark.sql.shuffle.partitions in every subprocess (r8 verdict ask #6:
+hash-match correctness must be partition-count-invariant). The summary
+records both modes.
 """
 
 from __future__ import annotations
@@ -52,7 +55,12 @@ def main() -> int:
     if "--batch" in argv:
         batch_size = int(argv[argv.index("--batch") + 1])
     if "--only" in argv:
-        only = argv[argv.index("--only") + 1 :]
+        # stop at the next flag (r8 ADVICE): `--only q1 --category text`
+        # must not fold '--category'/'text' into the prefix list
+        i = argv.index("--only") + 1
+        while i < len(argv) and not argv[i].startswith("--"):
+            only.append(argv[i])
+            i += 1
     categories: list[str] = []
     if "--category" in argv:
         i = argv.index("--category") + 1
@@ -120,6 +128,8 @@ def main() -> int:
     summary = {
         "harness": "bare-session subprocess batches; streaming 1-per-process",
         "ansi": os.environ.get("SPARK_GRAFT_ANSI", "0") == "1",
+        "shuffle_partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        or "default",
         "sf_dir": sf_dir,
         "n_queries": len(merged),
         "pass": counts["pass"],

@@ -105,6 +105,12 @@ def test_run_stress_smoke(spark, sf_dir, tmp_path):
         assert {"candidates", "candidates_sec", "verified_pairs", "verify_sec"} <= set(
             cfg
         )
+        # per-run raws (r8 verdict ask #3): min == reported stage sec
+        assert cfg["candidates_sec"] == min(cfg["candidates_raw"])
+        assert cfg["verify_sec"] == min(cfg["verify_raw"])
+        assert len(cfg["verify_raw"]) == res["runs"]
+    # first call built the corpus; its cost is in the artifact now
+    assert res["build_sec"] > 0
     # the per-bucket cap can only REMOVE candidate pairs, and verify can
     # only keep a subset of candidates
     assert cap["candidates"] <= unc["candidates"]
@@ -119,6 +125,7 @@ def test_run_stress_smoke(spark, sf_dir, tmp_path):
     res2 = bench._run_stress(spark, sf_dir, out_dir=out_dir, copies=4, cap=2)
     assert os.path.getmtime(sentinel) == mtime
     assert res2["configs"]["uncapped"]["candidates"] == unc["candidates"]
+    assert res2["build_sec"] == 0.0  # sentinel hit — no rebuild cost
 
 
 def test_xn_build_gated_on_completion_sentinel(spark, sf_dir, tmp_path):
@@ -152,5 +159,44 @@ def test_xn_build_gated_on_completion_sentinel(spark, sf_dir, tmp_path):
     # simulated crash AFTER lineitem (the old gate's blind spot): files
     # present, sentinel gone -> must rebuild
     os.unlink(sentinel)
-    bench._ensure_built(spark, sf_dir, out_dir, copies=2)
+    assert bench._ensure_built(spark, sf_dir, out_dir, copies=2) > 0
     assert os.path.exists(sentinel)
+    # completed-build return contract: sentinel hit costs nothing
+    assert bench._ensure_built(spark, sf_dir, out_dir, copies=2) == 0.0
+
+
+def test_rebuild_drops_stale_sentinel_before_writing(spark, sf_dir, tmp_path):
+    """r8 ADVICE: a rebuild for NEW params that crashes mid-way must not
+    leave the OLD params' sentinel behind — otherwise a later run with
+    the original params treats the partially-overwritten directory as
+    complete. _build_xn unlinks the sentinel before its first write, so
+    a crash anywhere in the build leaves the dir sentinel-less."""
+    import pytest
+
+    out_dir = str(tmp_path / "xn")
+    bench._ensure_built(spark, sf_dir, out_dir, copies=2)
+    sentinel = os.path.join(out_dir, bench._BUILD_SENTINEL)
+    assert bench._is_built(out_dir, sf_dir, copies=2)
+
+    # rebuild for different params against a source that explodes after
+    # the sentinel-unlink point (nonexistent dir -> first read fails)
+    with pytest.raises(Exception):
+        bench._build_xn(spark, "/nonexistent/sf", out_dir, copies=3)
+    assert not os.path.exists(sentinel)
+    # the old params no longer vouch for the (potentially partial) dir
+    assert not bench._is_built(out_dir, sf_dir, copies=2)
+
+
+def test_calibration_probe_shape():
+    """The machine-speed probe (r8 verdict ask #1) must be fast, fixed,
+    and self-describing: single-core and all-core timings of the same
+    deterministic kernel, plus the proc count they normalize by."""
+    res = bench._calibrate()
+    assert set(res) == {"kernel", "single_sec", "mt_sec", "procs"}
+    assert res["kernel"] == "lcg32_5M"
+    assert 0 < res["single_sec"] < 30
+    # the burn runs procs copies of the SAME kernel; with any parallelism
+    # at all it lands far under procs * single
+    assert res["mt_sec"] < res["procs"] * res["single_sec"]
+    # and the kernel itself is deterministic
+    assert bench._calib_kernel(1000) == bench._calib_kernel(1000)

@@ -591,7 +591,36 @@ def test_global_rank_skew_property(spark):
     check()
 
 
-def test_near_dup_pipeline_plan_shape(spark):
+def test_q64_tfidf_plan_shape(spark):
+    """q64's ×10 bench behavior must come from this plan shape (r8
+    verdict ask #2 — the driver's scale-2 q64 drifted 1.61→2.88 s and
+    the question "plan or box?" needs the plan pinned): pruned 2-column
+    scans, map-side partial aggregation on both shuffles, the rank<=3
+    filter pushed into WindowGroupLimit (top-k group limit BEFORE the
+    full window sort — the difference between sorting 3 rows/doc and
+    every (doc, term) pair at 100 TB), and exactly ONE nested-loop join:
+    the broadcast of the 1-row n_docs aggregate. The assertions are
+    AQE-strategy-agnostic (hold whether dfreq broadcasts at sf0.001 or
+    sort-merges at ×10)."""
+    from hive_feature_demo_spark.plans import REGISTRY
+
+    df = REGISTRY["q64_tfidf_top_terms"].fn(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # only the broadcast-scalar n_docs cross join may nested-loop (each
+    # operator prints twice in formatted mode: tree + numbered detail)
+    nlj_details = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("(") and "BroadcastNestedLoopJoin" in ln
+    ]
+    assert len(nlj_details) == 1, plan
+    # top-k-per-doc is a group limit, not a full-partition window sort
+    assert "WindowGroupLimit" in plan
+    # tf/doc_freq aggregations combine map-side before their shuffles
+    assert "partial_count" in plan
+    # the documents scan reads exactly (doc_id, text)
+    assert "struct<doc_id:bigint,text:string>" in plan
     """The near-dup scale path must stay equi-join shaped end to end:
     no CartesianProduct / BroadcastNestedLoop anywhere in the candidate
     generation, the capped variant included — the whole point of
