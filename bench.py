@@ -567,7 +567,11 @@ def main() -> None:
     # a fixed CPU kernel timed single-core and as an all-cores burn, so a
     # cross-round wall-clock comparison can normalize for box speed from
     # the artifact alone. r9 reference values on an idle box: PERF.md.
-    calib = _calibrate()
+    # Fail-soft: a probe failure must never erase the headline measurement.
+    try:
+        calib = _calibrate()
+    except Exception as exc:
+        calib = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     spark = get_spark(app_name="bench")
 
     # warmup: JVM + whole-stage codegen + shuffle machinery + parquet
