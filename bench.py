@@ -726,6 +726,14 @@ def main() -> None:
         "end": [round(v, 2) for v in os.getloadavg()],
         "cpus": os.cpu_count(),
     }
+    # second calibration sample AFTER the suites: the start probe can't
+    # see the box slowing down DURING a multi-minute run (this round's
+    # q64 ×100 raws measured 9.96 s then 49.2 s back-to-back near the
+    # end of the bench — calib_end tells whether that was the box).
+    try:
+        out["calib_end"] = _calibrate()
+    except Exception as exc:
+        out["calib_end"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     if errors:
         out["errors"] = errors
     # trailing gate summary (r7 verdict ask #2): the driver archives only
