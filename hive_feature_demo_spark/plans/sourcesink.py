@@ -106,8 +106,11 @@ def q120_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     base = scratch_dir(prefix="hfd_q120_")
     # unique table names per call: the driver may invoke on a session whose
-    # catalog already has earlier runs' tables
-    suffix = os.path.basename(base).split("_")[-1]
+    # catalog already has earlier runs' tables. The suffix is the FULL
+    # mkdtemp random part — tempfile's name alphabet includes "_", so
+    # split("_")[-1] could yield a near-empty fragment that collides
+    # across runs (the q129 LOCATION_ALREADY_EXISTS incident, round 9)
+    suffix = os.path.basename(base)[len("hfd_q120_"):]
     t_o, t_l = f"q120_orders_{suffix}", f"q120_lineitem_{suffix}"
     writers.write_bucketed_table(
         orders, t_o, ["o_orderkey"], 8, path=os.path.join(base, "o")
@@ -206,9 +209,22 @@ _Q129_NEW_SQL = "\n      UNION ALL\n".join(
     category="sources",
 )
 def q129_scd1_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    from urllib.parse import urlparse
+
     customer = table(spark, sf_dir, "customer")
-    suffix = os.path.basename(scratch_dir(prefix="hfd_q129_")).split("_")[-1]
+    # full mkdtemp random part, NOT split("_")[-1]: tempfile's alphabet
+    # includes "_", so the old derivation could produce an empty suffix —
+    # and "q129_customer_" then collided with a leftover warehouse dir
+    # from a killed earlier process (round-9 sweep ERR)
+    suffix = os.path.basename(scratch_dir(prefix="hfd_q129_"))[len("hfd_q129_"):]
     t_name = f"q129_customer_{suffix}"
+    # this is a MANAGED table: mode("overwrite") only drops a REGISTERED
+    # table, while a crashed prior process can leave the bare location
+    # under spark.sql.warehouse.dir with no catalog entry, which
+    # saveAsTable rejects with LOCATION_ALREADY_EXISTS — clear it first
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, t_name), ignore_errors=True)
     customer.write.mode("overwrite").format("parquet").saveAsTable(t_name)
 
     updates = (

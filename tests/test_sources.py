@@ -278,3 +278,35 @@ def test_write_zordered_clusters_files(spark, sf_dir, tmp_path):
     avg_span = sum(spans) / len(spans)
     # files cover compact tiles: average per-file span well under global
     assert avg_span < 0.8 * (glob_max - glob_min)
+
+
+def test_q129_survives_stale_unregistered_warehouse_location(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """Round-9 sweep incident: a killed earlier process left
+    spark-warehouse/q129_customer_<suffix> on disk with NO catalog entry,
+    and saveAsTable (whose mode=overwrite only drops REGISTERED tables)
+    failed with LOCATION_ALREADY_EXISTS. q129 must clear a stale bare
+    location before writing its managed table. Forces the collision by
+    pinning the scratch suffix and pre-creating the location."""
+    import os
+    from urllib.parse import urlparse
+
+    from hive_feature_demo_spark.plans import sourcesink
+
+    fixed = tmp_path / "hfd_q129_stalecase"
+    fixed.mkdir()
+    monkeypatch.setattr(sourcesink, "scratch_dir", lambda prefix: str(fixed))
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, "q129_customer_stalecase")
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "junk"), "w") as f:
+        f.write("leftover from a crashed run")
+
+    try:
+        df = sourcesink.q129_scd1_merge_roundtrip(spark, sf_dir)
+        rows = df.collect()
+        assert {r["c_mktsegment"] for r in rows} >= {"MERGED-NEW", "MERGED-UPD"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q129_customer_stalecase")
