@@ -736,6 +736,12 @@ def main() -> None:
         out["calib_end"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     if errors:
         out["errors"] = errors
+    # compact calibration duplicates INSIDE the tail window: the full
+    # "calib" dict sits near the JSON front, which the driver's
+    # last-~2000-chars stdout archive truncates away — the numbers the
+    # cross-round comparison needs must live with the trailing gate keys
+    out["calib_single_sec"] = calib.get("single_sec")
+    out["calib_mt_sec"] = calib.get("mt_sec")
     # trailing gate summary (r7 verdict ask #2): the driver archives only
     # the LAST ~2000 chars of bench stdout, and "value" sits at the JSON
     # front — BENCH_r06/r07 both lost the headline numbers to truncation.
