@@ -42,31 +42,40 @@ from hive_feature_demo_spark.plans import REGISTRY  # noqa: E402
 _ISOLATED_CATEGORIES = {"streaming"}
 
 
-def main() -> int:
-    argv = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.01"
-    out_path = "SELFCHECK_r5.json"
-    batch_size = 25
-    only: list[str] = []
+def parse_args(argv: list[str]) -> dict:
+    """Parse the flag vocabulary. Multi-operand flags (--only,
+    --category) stop consuming at the next '--' token (r8 ADVICE:
+    `--only q1 --category text` must not fold '--category'/'text' into
+    the prefix list)."""
+    args = {
+        "sf_dir": "/root/testdata/sf0.01",
+        "out_path": "SELFCHECK_r5.json",
+        "batch_size": 25,
+        "only": [],
+        "categories": [],
+    }
     if "--sf" in argv:
-        sf_dir = argv[argv.index("--sf") + 1]
+        args["sf_dir"] = argv[argv.index("--sf") + 1]
     if "--out" in argv:
-        out_path = argv[argv.index("--out") + 1]
+        args["out_path"] = argv[argv.index("--out") + 1]
     if "--batch" in argv:
-        batch_size = int(argv[argv.index("--batch") + 1])
-    if "--only" in argv:
-        # stop at the next flag (r8 ADVICE): `--only q1 --category text`
-        # must not fold '--category'/'text' into the prefix list
-        i = argv.index("--only") + 1
-        while i < len(argv) and not argv[i].startswith("--"):
-            only.append(argv[i])
-            i += 1
-    categories: list[str] = []
-    if "--category" in argv:
-        i = argv.index("--category") + 1
-        while i < len(argv) and not argv[i].startswith("--"):
-            categories.append(argv[i])
-            i += 1
+        args["batch_size"] = int(argv[argv.index("--batch") + 1])
+    for flag, key in (("--only", "only"), ("--category", "categories")):
+        if flag in argv:
+            i = argv.index(flag) + 1
+            while i < len(argv) and not argv[i].startswith("--"):
+                args[key].append(argv[i])
+                i += 1
+    return args
+
+
+def main() -> int:
+    args = parse_args(sys.argv[1:])
+    sf_dir = args["sf_dir"]
+    out_path = args["out_path"]
+    batch_size = args["batch_size"]
+    only = args["only"]
+    categories = args["categories"]
 
     names = sorted(REGISTRY)
     if only:
