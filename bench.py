@@ -13,6 +13,13 @@ Each query runs TWICE and the MIN is reported: the benchmark's job is to
 measure the PLAN, and min-of-2 is robust to transient machine contention
 (BENCH_r02 recorded 64s on a box still busy with the correctness pass;
 the same suite idle measures ~47s). Set SPARK_GRAFT_BENCH_RUNS to change.
+
+Representative-number rule (r9 verdict ask #6): when a round produces
+multiple full runs, the representative headline is the run whose
+calib_mt_sec is closest to the idle reference (_CALIB_IDLE_MT_REF, also
+emitted in the artifact as calib_idle_mt_ref); the other runs are
+variance samples. This is the rule the r9 round applied in prose — it
+now lives here so future rounds don't re-litigate which number is real.
 """
 
 from __future__ import annotations
@@ -103,6 +110,11 @@ SCALE3 = [
 
 _X100_COPIES = 100
 
+#: ×100 queries sampled min-of-3 instead of min-of-2 (r9 verdict ask #4):
+#: r9's q64 raws [9.96, 49.2] showed a 5× back-to-back spread, and q86 is
+#: the other growth-gating flagship.
+_HIGH_VARIANCE_X100 = ("q64_tfidf_top_terms", "q86_near_dup_clusters")
+
 #: sentinel written by _build_xn AFTER the last table lands. The
 #: completeness gate checks THIS, not an individual table file: gating on
 #: lineitem.parquet (written third of six) would treat a build that
@@ -187,6 +199,16 @@ def _calib_kernel(n: int = 5_000_000) -> int:
     return x
 
 
+#: Idle-box reference for the calibration burn (measured on this tree's
+#: 32-core container, rounds 8-9: mt_sec 0.77-0.80 idle). Representative-
+#: number rule (r9 verdict ask #6): when a round produces several full
+#: bench runs, the representative headline is the run whose calib_mt_sec
+#: is CLOSEST to this reference; the others are variance samples. The
+#: constant is emitted in the artifact so the rule is checkable from the
+#: JSON alone.
+_CALIB_IDLE_MT_REF = 0.78
+
+
 def _calibrate() -> dict:
     """Machine-speed calibration probe (r8 verdict ask #1): the r8 judge
     saw join-free headline queries run at ~2× all historical recordings
@@ -218,6 +240,71 @@ def _calibrate() -> dict:
         "mt_sec": round(mt, 3),
         "procs": procs,
     }
+
+
+def _calibrate_in_subprocess(timeout: float = 180.0) -> dict:
+    """Run `_calibrate` in a fresh interpreter. The end-of-bench probe
+    (r9 ADVICE) must not fork a multiprocessing Pool inside THIS process:
+    by then the Spark JVM / py4j gateway and its background Python threads
+    are live, and forking a multithreaded process can deadlock — a hang
+    the in-process try/except could never catch (it would stall the bench
+    after all suites completed and lose the whole artifact). A fresh
+    subprocess forks only its own single-threaded self, so the kernel
+    measurement stays identical to the front probe's fork-pool numbers,
+    and the subprocess timeout bounds a pathological hang."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import json, bench; print(json.dumps(bench._calibrate()))"],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _free_local_checkpoint(df) -> None:
+    """Release the block-manager storage behind a localCheckpoint()'ed
+    DataFrame. `Dataset.unpersist()` only evicts CacheManager entries —
+    it does NOT touch the RDD-level persistence localCheckpoint sets up
+    (verified against pyspark 4.1.2: getPersistentRDDs stays at 1 after
+    df.unpersist, drops to 0 after this) — so reach through the
+    LogicalRDD to its backing RDD. Fail-soft: if the plan shape ever
+    changes, the blocks just age out of storage memory as before."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def _ckpt_rdd_id(df):
+    """RDD id backing a localCheckpoint()'ed DataFrame (None if the plan
+    isn't a bare LogicalRDD)."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd().id()
+    except Exception:
+        return None
+
+
+def _persistent_ids(spark) -> set:
+    """Ids of every RDD currently persisted in the block manager."""
+    try:
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    except Exception:
+        return set()
+
+
+def _unpersist_ids(spark, ids) -> None:
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            rdd = jmap.get(i)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:
+        pass
 
 
 def _run_stress(
@@ -288,13 +375,30 @@ def _run_stress(
     s_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STRESS_RUNS", "2")))
 
     def timed(fn):
+        """min-of-N timer over fns returning (result, [checkpointed dfs]).
+        Every persisted block a run creates is released as soon as the
+        run's timing is recorded, EXCEPT the blocks backing the run's
+        returned DataFrames (r9 ADVICE: eager localCheckpoints from
+        thrown-away runs — including the operators' own internal
+        checkpoints, e.g. `dedup.py:193,249` — otherwise pile up in
+        storage memory across the stress suite and perturb the very
+        timings being measured). Prior runs' kept blocks are freed before
+        the next run starts; only the FINAL run's returned checkpoints
+        survive, and internals are always releasable because every
+        returned DataFrame is itself eagerly materialized."""
         raws: list[float] = []
-        res = None
+        res, ckpts = None, []
+        prev_keep: set = set()
         for _ in range(s_runs):
+            _unpersist_ids(spark, prev_keep)
+            before = _persistent_ids(spark)
             t0 = time.perf_counter()
-            res = fn()
+            res, ckpts = fn()
             raws.append(round(time.perf_counter() - t0, 2))
-        return res, min(raws), raws
+            keep = {i for i in (_ckpt_rdd_id(d) for d in ckpts) if i is not None}
+            _unpersist_ids(spark, (_persistent_ids(spark) - before) - keep)
+            prev_keep = keep
+        return res, min(raws), raws, ckpts
 
     def prep():
         sh = dedup.shingle_index(docs, "doc_id", "text", 3).localCheckpoint(
@@ -303,9 +407,9 @@ def _run_stress(
         sig = dedup.minhash_signatures_from_index(sh, "doc_id", 16).localCheckpoint(
             eager=True
         )
-        return sh, sig
+        return (sh, sig), [sh, sig]
 
-    (sh, sig), prep_sec, prep_raw = timed(prep)
+    (sh, sig), prep_sec, prep_raw, _ = timed(prep)
     result: dict = {
         "copies": copies,
         "docs": docs.count(),
@@ -321,17 +425,17 @@ def _run_stress(
             c = dedup.lsh_candidate_pairs(
                 sig, "doc_id", 4, 4, max_bucket_width=cap_v
             ).localCheckpoint(eager=True)
-            return c, c.count()
+            return (c, c.count()), [c]
 
-        (cands, n_cand), cand_sec, cand_raw = timed(gen_cands)
+        (cands, n_cand), cand_sec, cand_raw, cand_ckpts = timed(gen_cands)
 
         def verify():
             v = dedup.verify_jaccard_on_candidates(
                 sh, cands, "doc_id", 0.5
             ).localCheckpoint(eager=True)
-            return v.count()
+            return v.count(), [v]
 
-        n_ver, ver_sec, ver_raw = timed(verify)
+        n_ver, ver_sec, ver_raw, ver_ckpts = timed(verify)
         result["configs"][label] = {
             "candidates": n_cand,
             "candidates_sec": cand_sec,
@@ -340,6 +444,10 @@ def _run_stress(
             "verify_sec": ver_sec,
             "verify_raw": ver_raw,
         }
+        # this config is done — its candidate + verify blocks must not
+        # occupy storage memory while the next config is being timed
+        for prev in cand_ckpts + ver_ckpts:
+            _free_local_checkpoint(prev)
     return result
 
 
@@ -681,11 +789,26 @@ def main() -> None:
             # forty minutes apart (residual box load) — a growth factor
             # derived from one sample is noise, not a plan property
             s3_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALE3_RUNS", "2")))
-            _run_suite(spark, SCALE3, x100_dir, s3_runs, t3, errors, raw=raw3)
+            # min-of-3 for the two highest-variance ×100 queries (r9
+            # verdict ask #4): q64's r9 raws were [9.96, 49.2] — a 5×
+            # back-to-back spread that min-of-2 can still land inside —
+            # and q86 is the other flagship whose growth factor gates the
+            # scale story. Everything else stays min-of-2 so the suite's
+            # wall time doesn't inflate across the board.
+            hv_runs = max(3, s3_runs)
+            stable3 = [n for n in SCALE3 if n not in _HIGH_VARIANCE_X100]
+            hv3 = [n for n in SCALE3 if n in _HIGH_VARIANCE_X100]
+            _run_suite(spark, stable3, x100_dir, s3_runs, t3, errors, raw=raw3)
+            if hv3:
+                _run_suite(spark, hv3, x100_dir, hv_runs, t3, errors, raw=raw3)
             x10_t = out.get("scale2", {}).get("queries", {})
             out["scale3"] = {
                 "sf": (float(sf) if sf.replace(".", "").isdigit() else 0.1)
                 * _X100_COPIES,
+                "runs_policy": {
+                    "default": s3_runs,
+                    **{n: hv_runs for n in hv3},
+                },
                 "build_sec": build3_sec,
                 "warm_pass": True,
                 "warm_pass_sec": warm_sec,
@@ -727,11 +850,12 @@ def main() -> None:
         "cpus": os.cpu_count(),
     }
     # second calibration sample AFTER the suites: the start probe can't
-    # see the box slowing down DURING a multi-minute run (this round's
-    # q64 ×100 raws measured 9.96 s then 49.2 s back-to-back near the
-    # end of the bench — calib_end tells whether that was the box).
+    # see the box slowing down DURING a multi-minute run (r9's q64 ×100
+    # raws measured 9.96 s then 49.2 s back-to-back near the end of the
+    # bench — calib_end tells whether that was the box). Subprocess, not
+    # in-process: the JVM/py4j threads are live by now (r9 ADVICE).
     try:
-        out["calib_end"] = _calibrate()
+        out["calib_end"] = _calibrate_in_subprocess()
     except Exception as exc:
         out["calib_end"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     if errors:
@@ -742,6 +866,10 @@ def main() -> None:
     # cross-round comparison needs must live with the trailing gate keys
     out["calib_single_sec"] = calib.get("single_sec")
     out["calib_mt_sec"] = calib.get("mt_sec")
+    # the representative-number rule's reference (r9 verdict ask #6): of
+    # several runs, the one with calib_mt_sec closest to this idle value
+    # is the representative headline; the rest are variance samples
+    out["calib_idle_mt_ref"] = _CALIB_IDLE_MT_REF
     # trailing gate summary (r7 verdict ask #2): the driver archives only
     # the LAST ~2000 chars of bench stdout, and "value" sits at the JSON
     # front — BENCH_r06/r07 both lost the headline numbers to truncation.

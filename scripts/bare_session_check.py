@@ -97,6 +97,7 @@ def main() -> int:
                 "err": n_err,
                 "rows_only": n_rows_only,
                 "sf_dir": sf_dir,
+                "tz": os.environ.get("TZ") or "host-default",
             }
         )
     )

@@ -20,8 +20,13 @@ Set SPARK_GRAFT_ANSI=1 to run the whole sweep with
 spark.sql.ansi.enabled=true in every subprocess (r7 verdict ask #4);
 set SPARK_GRAFT_SHUFFLE_PARTITIONS=N to force a non-default
 spark.sql.shuffle.partitions in every subprocess (r8 verdict ask #6:
-hash-match correctness must be partition-count-invariant). The summary
-records both modes.
+hash-match correctness must be partition-count-invariant). Export
+TZ=<zone> (e.g. Asia/Kolkata) to run the sweep under a non-UTC host
+timezone (r9 verdict ask #1: the engine pins the SESSION timeZone, but
+date/timestamp ingestion, window boundaries, and the DuckDB side all see
+the HOST zone a real driver might run under — subprocess.run inherits
+the environment, so the flag reaches every bare session). The summary
+records all three modes.
 """
 
 from __future__ import annotations
@@ -139,6 +144,13 @@ def main() -> int:
         "ansi": os.environ.get("SPARK_GRAFT_ANSI", "0") == "1",
         "shuffle_partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         or "default",
+        # host timezone the subprocesses (JVM + Python + DuckDB) ran under
+        # (r9 verdict ask #1): export TZ=Asia/Kolkata for the non-UTC
+        # sweep — subprocess.run inherits the environment, so the flag
+        # reaches every bare session; time.tzname records what actually
+        # applied, not just what was requested
+        "tz": os.environ.get("TZ") or "host-default",
+        "tzname": list(time.tzname),
         "sf_dir": sf_dir,
         "n_queries": len(merged),
         "pass": counts["pass"],

@@ -196,7 +196,10 @@ def test_calibration_probe_shape():
     assert res["kernel"] == "lcg32_5M"
     assert 0 < res["single_sec"] < 30
     # the burn runs procs copies of the SAME kernel; with any parallelism
-    # at all it lands far under procs * single
-    assert res["mt_sec"] < res["procs"] * res["single_sec"]
+    # at all it lands far under procs * single (on a 1-CPU box the pool
+    # fork/map overhead can push mt slightly OVER single, so only assert
+    # real parallelism when there is more than one core to parallelize)
+    if res["procs"] > 1:
+        assert res["mt_sec"] < res["procs"] * res["single_sec"]
     # and the kernel itself is deterministic
     assert bench._calib_kernel(1000) == bench._calib_kernel(1000)

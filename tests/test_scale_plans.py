@@ -621,6 +621,9 @@ def test_q64_tfidf_plan_shape(spark):
     assert "partial_count" in plan
     # the documents scan reads exactly (doc_id, text)
     assert "struct<doc_id:bigint,text:string>" in plan
+
+
+def test_near_dup_pipeline_plan_shape(spark):
     """The near-dup scale path must stay equi-join shaped end to end:
     no CartesianProduct / BroadcastNestedLoop anywhere in the candidate
     generation, the capped variant included — the whole point of
