@@ -195,7 +195,18 @@ def _normalize(df: DataFrame) -> DataFrame:
 
 def normalize_event_times(df: DataFrame) -> DataFrame:
     """Public alias of :func:`_normalize` for non-catalog readers (the
-    streaming file source probes the footer, then applies this)."""
+    streaming file source probes the footer, then applies this).
+
+    Pins the session confs FIRST: Spark's ``ResolveTimeZone`` rule stamps
+    the session timezone into timezone-aware expressions at ANALYSIS time,
+    and the NTZ->TIMESTAMP cast built here is analyzed the moment
+    ``withColumn`` constructs the new DataFrame. On a non-UTC host, a
+    virgin session that hasn't been through ``ensure_session_confs`` yet
+    would bake the HOST zone into the cast permanently (conf changes after
+    analysis don't re-stamp), shifting every event instant by the host
+    offset — found by the r10 TZ=Asia/Kolkata sweep (9 streaming queries,
+    −5:30 on every window boundary)."""
+    ensure_session_confs(df.sparkSession)
     return _normalize(df)
 
 

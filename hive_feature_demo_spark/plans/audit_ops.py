@@ -135,7 +135,9 @@ def q260_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       ORDER BY o_orderdate, o_orderkey
       LIMIT 1 OFFSET 99
     )
-    SELECT o.o_orderkey, o.o_orderdate, o.o_custkey, o.o_totalprice
+    SELECT o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o.o_custkey, o.o_totalprice
     FROM orders o, cursor_row c
     WHERE o.o_orderdate > c.cd
        OR (o.o_orderdate = c.cd AND o.o_orderkey > c.ck)
@@ -159,10 +161,21 @@ def q261_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") > F.lit(cd))
         | ((F.col("o_orderdate") == F.lit(cd)) & (F.col("o_orderkey") > F.lit(ck)))
     )
+    # date_format, not the raw TimestampType column: PySpark's collect()
+    # renders TimestampType in the PYTHON PROCESS's local zone
+    # (datetime.fromtimestamp), so a raw timestamp output hash-matches the
+    # naive DuckDB rendering only on a UTC host — found by the r10
+    # TZ=Asia/Kolkata sweep (+5:30 on every row). Formatting engine-side
+    # under the pinned UTC session zone is host-TZ-invariant.
     return (
-        page.select("o_orderkey", "o_orderdate", "o_custkey", "o_totalprice")
-        .orderBy("o_orderdate", "o_orderkey")
+        page.orderBy("o_orderdate", "o_orderkey")
         .limit(50)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+            "o_custkey",
+            "o_totalprice",
+        )
     )
 
 
@@ -262,7 +275,8 @@ def q262_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY streak_len DESC, started, event_type) AS rn
       FROM streaks
     )
-    SELECT user_id, event_type, streak_len, started
+    SELECT user_id, event_type, streak_len,
+           strftime(started, '%Y-%m-%d %H:%M:%S.%f') AS started
     FROM best WHERE rn = 1 ORDER BY user_id
     """,
     category="stats",
@@ -284,10 +298,18 @@ def q263_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_best = Window.partitionBy("user_id").orderBy(
         F.desc("streak_len"), "started", "event_type"
     )
+    # date_format (µs precision, both sides): raw TimestampType output is
+    # rendered by collect() in the Python process's LOCAL zone — host-TZ
+    # sweep finding, same class as q261.
     return (
         streaks.withColumn("rn", F.row_number().over(w_best))
         .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", "streak_len", "started")
+        .select(
+            "user_id",
+            "event_type",
+            "streak_len",
+            F.date_format("started", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("started"),
+        )
         .orderBy("user_id")
     )
 

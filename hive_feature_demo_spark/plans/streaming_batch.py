@@ -234,8 +234,13 @@ def _streamed_events(spark: SparkSession, sf_dir: str):
     # Probe the footer for the stored ts encoding (nanos-bigint vs µs-NTZ —
     # it has shifted between rounds) and reuse the catalog's normalizer; a
     # hardcoded LongType schema silently mis-scales µs-encoded files.
-    from hive_feature_demo_spark.catalog import normalize_event_times
+    # ensure_session_confs BEFORE the probe: a virgin session can't even
+    # read a TIMESTAMP(NANOS) footer without nanosAsLong, and the
+    # normalizer's NTZ cast must not be analyzed under a non-UTC host zone
+    # (see normalize_event_times — r10 TZ sweep finding).
+    from hive_feature_demo_spark.catalog import ensure_session_confs, normalize_event_times
 
+    ensure_session_confs(spark)
     probed = (
         spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
     )

@@ -671,17 +671,21 @@ _SCD2_ROT_SQL = (
 def q322_streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_feature_demo_spark.streaming import ops as sops
 
-    import datetime as dt
-
-    # version boundary from parquet footer stats (metadata-only read);
-    # integer-microsecond midpoint so both engines floor identically
-    t0, t1 = (
-        table(spark, sf_dir, "events").agg(F.min("ts"), F.max("ts")).first()
+    # version boundary as integer epoch-microseconds computed ENGINE-side:
+    # collecting min/max as TimestampType renders them in the Python
+    # process's LOCAL zone (datetime.fromtimestamp), so driver-side epoch
+    # arithmetic assumed UTC walls and shifted the boundary by the host
+    # offset (r10 TZ=Asia/Kolkata sweep: +5:30 → 5 segment totals off).
+    # Longs cross the py4j boundary unchanged.
+    t0_us, t1_us = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.min(epoch_micros(F.col("ts"))),
+            F.max(epoch_micros(F.col("ts"))),
+        )
+        .first()
     )
-    epoch = dt.datetime(1970, 1, 1)
-    us = dt.timedelta(microseconds=1)
-    # exact integer microseconds (timedelta floor-div, no float rounding)
-    mid_us = ((t0 - epoch) // us + (t1 - epoch) // us) // 2
+    mid_us = (t0_us + t1_us) // 2
 
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     rot = F.col("c_mktsegment")

@@ -184,3 +184,50 @@ def test_millis_encoding_reads_truncation_exact(spark, encoded_dirs, millis_dir)
     for got, want in [(b[0], ref[0]), (b[1], ref[1])]:
         delta = abs((want - got).total_seconds())
         assert delta < 0.001, f"ms truncation off: {got} vs {want} ({delta}s)"
+
+
+def test_ntz_cast_is_utc_even_if_session_tz_drifts(spark):
+    """ResolveTimeZone stamps the SESSION zone into the NTZ->TIMESTAMP cast
+    at ANALYSIS time; normalize_event_times must pin UTC BEFORE building
+    the cast or a non-UTC host bakes its offset into every event instant
+    permanently (r10 TZ=Asia/Kolkata sweep: 9 streaming queries shifted
+    -5:30). Simulates the virgin-session hazard by drifting the session
+    zone, then asserts the normalized instant is wall@UTC, not wall@IST."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    wall = dt.datetime(2024, 1, 15, 12, 0, 0)  # naive wall time
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        df = spark.createDataFrame(
+            [(wall,)], T.StructType([T.StructField("ts", T.TimestampNTZType())])
+        )
+        out = catalog.normalize_event_times(df)
+        micros = out.select(F.unix_micros("ts").alias("m")).first()["m"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    want_utc = int(wall.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert micros == want_utc, (
+        f"NTZ cast stamped with a non-UTC zone: got {micros}, want {want_utc} "
+        f"(delta {(micros - want_utc) / 3.6e9:+.2f}h)"
+    )
+    assert spark.conf.get("spark.sql.session.timeZone") == prev
+
+
+def test_no_raw_timestamp_outputs_in_fixed_queries(spark):
+    """q261/q263 output schemas must not expose TimestampType: PySpark's
+    collect() renders TimestampType via datetime.fromtimestamp — the HOST
+    zone — so raw timestamp outputs hash-match a naive oracle rendering
+    only on UTC hosts (r10 TZ sweep finding). Engine-side date_format under
+    the pinned UTC session zone is the canonical output form."""
+    from hive_feature_demo_spark.plans.audit_ops import (
+        q261_keyset_pagination,
+        q263_event_streaks,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for fn in (q261_keyset_pagination, q263_event_streaks):
+        schema = fn(spark, sf).schema
+        bad = [f.name for f in schema.fields if f.dataType.simpleString() == "timestamp"]
+        assert not bad, f"{fn.__name__} exposes raw TimestampType: {bad}"
