@@ -728,24 +728,15 @@ def q158_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
 )
 def q131_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as dt
-    import tempfile
-
     from hive_feature_demo_spark.streaming import ops as sops
 
     events = _streamed_events(spark, sf_dir)
     # one driver-side scalar (parquet footer stats make this a metadata
-    # read): where to place the watermark-advancing flush row
-    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    flush_dir = scratch_dir(prefix="q131_flush_")
-    spark.createDataFrame(
-        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
-        schema="event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
-    flush_stream = spark.readStream.schema(
-        spark.read.parquet(flush_dir).schema
-    ).parquet(flush_dir)
+    # read): where to place the watermark-advancing flush row — built
+    # engine-side in epoch-micros (host-TZ-proof; see _sentinel_stream)
+    flush_stream = sops._sentinel_stream(
+        spark, sf_dir, scratch_dir(prefix="q131_flush_")
+    )
     # NOTE: no pre-aggregation filter on the sentinel — Catalyst pushes a
     # deterministic predicate BELOW the EventTimeWatermark node, which
     # removes the flush row before it registers in the watermark stats and
@@ -1134,22 +1125,13 @@ def q244_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q245_streaming_dynamic_gap_sessions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import datetime as dt
-    import tempfile
-
     from hive_feature_demo_spark.streaming import ops as sops
 
     events = _streamed_events(spark, sf_dir)
-    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    flush_dir = scratch_dir(prefix="q245_flush_")
-    spark.createDataFrame(
-        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
-        schema="event_id bigint, ts timestamp, user_id bigint, "
-        "event_type string, value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
-    flush_stream = spark.readStream.schema(
-        spark.read.parquet(flush_dir).schema
-    ).parquet(flush_dir)
+    # engine-side epoch-micros sentinel (host-TZ-proof; see _sentinel_stream)
+    flush_stream = sops._sentinel_stream(
+        spark, sf_dir, scratch_dir(prefix="q245_flush_")
+    )
     gap = F.when(
         F.col("event_type").isin(*_LONG_GAP_TYPES), F.lit("60 minutes")
     ).otherwise(F.lit("30 minutes"))

@@ -148,22 +148,44 @@ def with_flush_sentinel(
     caller reads events as one unthrottled single-file source, which
     satisfies the constraint by construction.
     """
-    import datetime as dt
-
-    from ..catalog import table
     from ..scratch import scratch_dir
 
-    max_ts = table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    flush_dir = scratch_dir(prefix="flush_")
+    return events_stream.unionByName(_sentinel_stream(spark, sf_dir, scratch_dir(prefix="flush_")))
+
+
+def _sentinel_stream(spark: SparkSession, sf_dir: str, flush_dir: str) -> DataFrame:
+    """Single-row far-future sentinel source (see with_flush_sentinel).
+
+    The sentinel timestamp is computed and materialized entirely
+    engine-side in integer epoch-microseconds: collecting max(ts) as a
+    TimestampType and re-ingesting the Python datetime round-trips through
+    the HOST zone (fromtimestamp ∘ mktime — identity except in a
+    DST-repeated hour), whereas longs cross py4j unchanged and
+    ``timestamp_micros`` is zone-free (r10 host-TZ hardening)."""
+    from ..catalog import table
+    from ..functions.temporal import epoch_micros
+
+    max_us = (
+        table(spark, sf_dir, "events")
+        .agg(F.max(epoch_micros(F.col("ts"))))
+        .first()[0]
+    )
+    flush_us = max_us + 86_400_000_000  # + 1 day
     spark.createDataFrame(
-        [(-1, max_ts + dt.timedelta(days=1), -1, "flush", 0.0, "{}")],
-        schema="event_id bigint, ts timestamp, user_id bigint, "
+        [(-1, flush_us, -1, "flush", 0.0, "{}")],
+        schema="event_id bigint, ts_us bigint, user_id bigint, "
         "event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
     ).coalesce(1).write.mode("overwrite").parquet(flush_dir)
-    flush_stream = spark.readStream.schema(
+    return spark.readStream.schema(
         spark.read.parquet(flush_dir).schema
     ).parquet(flush_dir)
-    return events_stream.unionByName(flush_stream)
 
 
 def run_to_memory(
