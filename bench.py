@@ -644,10 +644,19 @@ def _run_suite(spark, names, sf_dir, runs, timings, errors, core=None, raw=None)
         runs_l: list[float] = []
         try:
             for i in range(runs):
+                before = _persistent_ids(spark)
                 t0 = time.perf_counter()
                 df = q.fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
+                # release every block this run persisted (operators'
+                # internal eager localCheckpoints — q86's CC iterations
+                # above all): the result is fully materialized by the noop
+                # write, and the next run rebuilds from scratch, so leaked
+                # blocks only pile up in storage memory across min-of-N
+                # runs and perturb the later samples (same hazard the
+                # stress row's timed() fixed per r9 ADVICE).
+                _unpersist_ids(spark, _persistent_ids(spark) - before)
                 runs_l.append(round(dt, 3))
                 best = min(best, dt)
                 if i > 0:
