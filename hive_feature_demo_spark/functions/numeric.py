@@ -38,6 +38,29 @@ def exact_avg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def exact_sum_partial(col: Column | str, alias: str | None = None) -> Column:
+    """Partial leg of a re-associated :func:`exact_sum`.
+
+    Sums the per-row DECIMAL(25,10) cast but STAYS in decimal space, so a
+    second :func:`exact_sum_merge` over the partials is bit-identical to
+    one :func:`exact_sum` over the original rows — decimal addition is
+    exact, hence associative, unlike double addition. This is the helper
+    for pushing an exact sum below a join (pre-aggregate the fact side on
+    the join key, join 1:1, then merge), which shrinks the join's shuffle
+    and removes count-distinct Expands without perturbing the value hash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DEC))
+    return out.alias(alias) if alias else out
+
+
+def exact_sum_merge(col: Column | str, alias: str | None = None) -> Column:
+    """Merge leg of a re-associated :func:`exact_sum` (see partial)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c).cast("double")
+    return out.alias(alias) if alias else out
+
+
 def money(col: Column | str) -> Column:
     """Round a double to 2 decimal places, HALF_EVEN (Python semantics).
 

@@ -26,6 +26,8 @@ from hive_feature_demo_spark.functions.numeric import (
     exact_avg_fixed,
     exact_sum,
     exact_sum_fixed,
+    exact_sum_merge,
+    exact_sum_partial,
     round_det,
     sql_exact_avg,
     sql_exact_avg_fixed,
@@ -108,15 +110,29 @@ def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    # customer is a dimension (1.5k rows/GB-scale even at SF100k) -> broadcast;
-    # orders<->lineitem co-shuffle on the order key.
+    # Pre-aggregate lineitem on the join key BEFORE the join (Catalyst
+    # does not push aggregates below joins): the map-side partial combine
+    # compresses ~4 lineitems/order before the shuffle, the orders join
+    # becomes 1:1, and COUNT(DISTINCT o_orderkey) over the joined fact —
+    # which Spark plans as an Expand (×2 rows) plus a second wide
+    # (segment, orderkey) shuffle — degenerates to a plain COUNT(*).
+    # exact_sum_partial/merge keep the re-associated sum in decimal space
+    # so the value is bit-identical to the single-pass exact_sum (decimal
+    # addition is exact); o_orderkey is the orders PK (TPC-H), so each
+    # per-order row joins at most once and COUNT(*) = COUNT(DISTINCT).
+    # customer is a dimension (1.5k rows/GB-scale even at SF100k) -> broadcast.
+    per_order = l.groupBy("l_orderkey").agg(
+        exact_sum_partial(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"
+        )
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            exact_sum_merge("_rev", "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("c_mktsegment")
     )

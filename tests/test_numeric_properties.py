@@ -125,3 +125,38 @@ def test_hll_sketch_merge_equals_direct(spark):
     )
     assert direct == merged
     assert abs(direct - 7919) / 7919 < 0.05
+
+
+def test_exact_sum_reassociation_bit_identity(spark):
+    """exact_sum_partial -> exact_sum_merge must be BIT-identical to a
+    single-pass exact_sum under any grouping — the invariant that lets a
+    query pre-aggregate the fact side below a join (q02's shape) without
+    perturbing the driver's value hash. Decimal addition is exact, hence
+    associative; doubles are not, which is why the partials must stay in
+    decimal space. Adversarial values: many decimals whose double sums
+    are order-dependent."""
+    from hive_feature_demo_spark.functions.numeric import (
+        exact_sum,
+        exact_sum_merge,
+        exact_sum_partial,
+    )
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 97).alias("k"),
+        (F.col("id") % 1009).alias("g"),
+        # mix of magnitudes so double addition would be order-sensitive
+        (F.pow(F.lit(10.0), (F.col("id") % 13) - 6) * ((F.col("id") % 7) + 0.123456789)).alias("v"),
+    )
+    one_pass = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(exact_sum("v", "s")).collect()
+    }
+    two_pass = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k", "g")
+        .agg(exact_sum_partial("v", "p"))
+        .groupBy("k")
+        .agg(exact_sum_merge("p", "s"))
+        .collect()
+    }
+    assert one_pass == two_pass  # exact equality, not approx

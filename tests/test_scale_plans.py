@@ -644,3 +644,28 @@ def test_near_dup_pipeline_plan_shape(spark):
     pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
     plan = _formatted_plan(pairs)
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_q02_preaggregated_no_expand(spark):
+    """q02's re-associated sum must keep the Expand out of the plan.
+
+    The naive formulation — SUM + COUNT(DISTINCT o_orderkey) over the
+    lineitem⋈orders join — makes Spark plan an Expand (×2 every joined
+    fact row) feeding a second wide (segment, orderkey) shuffle. The
+    pre-aggregated form (partial decimal sum per l_orderkey below the
+    join, 1:1 join, plain COUNT) must show: no Expand, a map-side
+    partial HashAggregate before the fact shuffle, and broadcast joins
+    only where a dimension is small enough.
+    """
+    from hive_feature_demo_spark.plans.relational import q02_segment_revenue
+
+    df = q02_segment_revenue(spark, SF_DIR)
+    plan = _formatted_plan(df)
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # the per-order pre-aggregate combines map-side before its shuffle:
+    # partial_sum over the decimal cast appears ahead of the Exchange
+    assert "partial_sum" in plan, plan
+    # lineitem scan reads exactly the 3 columns the pre-aggregate needs
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert read and "l_quantity" not in read[0] and "l_shipdate" not in read[0], plan
