@@ -127,6 +127,27 @@ def _shingle_int(shingle_col):
     return F.conv(F.substring(F.md5(shingle_col), 1, 15), 16, 10).cast("long")
 
 
+def hashed_shingle_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Shingle index with the shingle HASHED to its 60-bit md5 int.
+
+    The MinHash pipelines never need the shingle text — signatures use
+    ``xi % p`` (identical to hashing the string at signature time) and
+    the exact-Jaccard verify only needs set-membership equality — so the
+    index they checkpoint and join on can carry an 8-byte long instead of
+    a ~25-byte UTF8 3-gram: smaller checkpoint, long-vs-string join keys,
+    one md5 per index row total. Row multiplicity is preserved (one row
+    per distinct shingle STRING per doc — a within-doc 60-bit collision
+    keeps both rows), and the oracles replay the same fold (llmops `shi`
+    CTE), so engine and oracle see identical values, collisions included;
+    exact-Jaccard-on-strings queries (q39/q232/q296/q300) keep the string
+    index.
+    """
+    sh = shingle_index(df, id_col, text_col, n)
+    return sh.select(F.col(id_col), _shingle_int(F.col("shingle")).alias("shingle"))
+
+
 def minhash_signatures_from_index(
     shingles: DataFrame, id_col: str, n_perm: int = 16
 ) -> DataFrame:
@@ -140,8 +161,16 @@ def minhash_signatures_from_index(
     # reduce x mod p BEFORE multiplying: a < p < 2^31 and (x mod p) < 2^31,
     # so a*(x mod p)+b < 2^62 stays in int64 (Spark 4 ANSI mode overflows
     # loudly otherwise); (a*x+b) mod p == (a*(x mod p)+b) mod p.
+    # A bigint shingle column is an already-hashed index (see
+    # hashed_shingle_index) — xm = xi % p is bit-identical to hashing the
+    # string here, so signatures are unchanged by the int-index rewrite.
+    already_hashed = dict(shingles.dtypes).get("shingle") == "bigint"
     sh = shingles.withColumn(
-        "x", _shingle_int(F.col("shingle")) % F.lit(MINHASH_PRIME)
+        "x",
+        (
+            F.col("shingle") if already_hashed else _shingle_int(F.col("shingle"))
+        )
+        % F.lit(MINHASH_PRIME),
     )
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh_{i}")
@@ -296,8 +325,10 @@ def minhash_near_duplicates(
     """
     # ONE shingling pass feeds signatures AND the verify join (see
     # minhash_signatures_from_index); materialized because it anchors
-    # three consumers across two stages
-    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    # three consumers across two stages. Hashed to the 60-bit int so the
+    # checkpoint holds 2 longs/row and the verify joins compare longs
+    # (see hashed_shingle_index for the exactness argument).
+    sh = hashed_shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         minhash_signatures_from_index(sh, id_col, n_perm),
         id_col,
@@ -397,7 +428,7 @@ def minhash_near_dup_clusters(
         id_col,
         "left_semi",
     )
-    sh = shingle_index(reps, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = hashed_shingle_index(reps, id_col, text_col, n).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
         minhash_signatures_from_index(sh, id_col, n_perm),
         id_col,

@@ -283,12 +283,17 @@ def q39_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a*(x mod p)+b mod p), so even the LSH internals are hash-checked.
 # ---------------------------------------------------------------------------
 
-_XM_SQL = (
-    "(list_reduce(list_prepend(CAST(0 AS BIGINT),"
+#: unreduced 60-bit md5-nibble fold — the oracle spelling of the engine's
+#: dedup._shingle_int (conv(substring(md5,1,15),16,10)); the MinHash x is
+#: this % MINHASH_PRIME, and the hashed verify index (`shi`) is this raw.
+_XI_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
     " list_transform(generate_series(1, 15),"
     " i -> CAST(strpos('0123456789abcdef', substring(md5(shingle), i, 1)) - 1 AS BIGINT))),"
-    " (acc, v) -> acc * 16 + v) % {p})"
-).format(p=dedup.MINHASH_PRIME)
+    " (acc, v) -> acc * 16 + v)"
+)
+
+_XM_SQL = f"(({_XI_SQL}) % {dedup.MINHASH_PRIME})"
 
 _MH_COLS_SQL = ",\n             ".join(
     f"MIN(({a} * xm + {b}) % {dedup.MINHASH_PRIME}) AS mh_{i}"
@@ -297,7 +302,8 @@ _MH_COLS_SQL = ",\n             ".join(
 
 _SIG_CTE = f"""
     {_SHINGLES_CTE},
-    x AS (SELECT doc_id, {_XM_SQL} AS xm FROM sh),
+    shi AS (SELECT doc_id, {_XI_SQL} AS shingle FROM sh),
+    x AS (SELECT doc_id, shingle % {dedup.MINHASH_PRIME} AS xm FROM shi),
     sig AS (
       SELECT doc_id,
              {_MH_COLS_SQL}
@@ -344,7 +350,7 @@ _BUCKETS_SQL = "\n      UNION ALL\n".join(
     sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
-      FROM sh a JOIN sh b USING (shingle)
+      FROM shi a JOIN shi b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
@@ -658,8 +664,8 @@ _LSH_CLUSTERS_CTE = f"""    buckets AS (
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS nc
       FROM cands c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN shi a ON a.doc_id = c.id_a
+      JOIN shi b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
     pairs AS (
