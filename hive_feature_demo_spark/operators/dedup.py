@@ -268,34 +268,56 @@ def verify_jaccard_on_candidates(
     a fraction of it). Per-doc shingle counts are unchanged by an id
     filter, so the result is identical; the verify joins now scale with
     candidate-doc mass, not corpus mass.
+
+    n_common is computed per pair as ``size(array_intersect)`` over
+    per-doc shingle SETS (r10): one groupBy collapses the restricted
+    index to an array + count per candidate doc, then each pair joins
+    exactly two array rows. The previous formulation exploded candidates
+    x shingles-per-doc rows through a (id, shingle) equi-join and
+    re-aggregated them — linear in the same quantities here, but at
+    adversarial candidate density (the bench stress row: 945k pairs x
+    ~50 shingles = 47M exploded rows) the explosion dominated the whole
+    pipeline; the array form moves pairs + docs rows instead and won a
+    measured ~2x at x100 (scripts/ab_verify_arrays.py). Intersection is
+    over the 60-bit shingle ints (hashed_shingle_index), set-semantics;
+    the oracles replay the identical distinct-int join, so collisions —
+    were one to occur — land the same on both engines. Per-doc array
+    width is bounded by the doc's distinct-shingle count (corpus ~52;
+    a pathological 1M-shingle doc would make an ~8 MB row — chunk such
+    docs upstream, as the curation splitters do).
     """
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # 3 consumers (sizes + both join sides) — materialize the restriction
-    sh = sh.join(cand_ids, id_col, "left_semi").localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        cands.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+    sets = (
+        sh.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(
+            F.collect_set("shingle").alias("_sh"),
+            F.count("*").alias("n_sh"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    n_common = F.size(F.array_intersect("_sh_a", "_sh_b"))
     return (
-        common.join(sa, "id_a")
+        cands.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                n_common / (F.col("n_a") + F.col("n_b") - n_common)
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -303,6 +303,7 @@ _MH_COLS_SQL = ",\n             ".join(
 _SIG_CTE = f"""
     {_SHINGLES_CTE},
     shi AS (SELECT doc_id, {_XI_SQL} AS shingle FROM sh),
+    shi_d AS (SELECT DISTINCT doc_id, shingle FROM shi),
     x AS (SELECT doc_id, shingle % {dedup.MINHASH_PRIME} AS xm FROM shi),
     sig AS (
       SELECT doc_id,
@@ -350,7 +351,7 @@ _BUCKETS_SQL = "\n      UNION ALL\n".join(
     sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
-      FROM shi a JOIN shi b USING (shingle)
+      FROM shi_d a JOIN shi_d b USING (shingle)
       WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
@@ -664,8 +665,8 @@ _LSH_CLUSTERS_CTE = f"""    buckets AS (
     common AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS nc
       FROM cands c
-      JOIN shi a ON a.doc_id = c.id_a
-      JOIN shi b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN shi_d a ON a.doc_id = c.id_a
+      JOIN shi_d b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
     pairs AS (
