@@ -149,7 +149,10 @@ def hashed_shingle_index(
 
 
 def minhash_signatures_from_index(
-    shingles: DataFrame, id_col: str, n_perm: int = 16
+    shingles: DataFrame,
+    id_col: str,
+    n_perm: int = 16,
+    already_hashed: bool | None = None,
 ) -> DataFrame:
     """MinHash signatures from a prebuilt (id, shingle) index.
 
@@ -157,14 +160,29 @@ def minhash_signatures_from_index(
     verification (``minhash_near_duplicates``) shingle the corpus ONCE —
     at 100 TB the tokenize+shingle scan is the dominant cost and must not
     run per consumer.
+
+    ``already_hashed`` declares whether ``shingle`` already carries the
+    60-bit md5 fold (:func:`hashed_shingle_index`) or is raw text to hash
+    here — ``xi % p`` on the fold is bit-identical to hashing the string
+    at signature time, so the two paths agree. The default ``None``
+    accepts a string column as obviously-unhashed but REFUSES an integer
+    column: a raw integer shingle and a pre-hashed fold are
+    indistinguishable by dtype, and signing raw ints as if they were
+    folds would silently produce different signatures than the string
+    path gives the same values.
     """
+    if already_hashed is None:
+        dtype = dict(shingles.dtypes).get("shingle")
+        if dtype != "string":
+            raise ValueError(
+                f"shingle column has dtype {dtype!r}: pass "
+                "already_hashed=True for a hashed_shingle_index, or "
+                "already_hashed=False to md5-fold raw integer shingles"
+            )
+        already_hashed = False
     # reduce x mod p BEFORE multiplying: a < p < 2^31 and (x mod p) < 2^31,
     # so a*(x mod p)+b < 2^62 stays in int64 (Spark 4 ANSI mode overflows
     # loudly otherwise); (a*x+b) mod p == (a*(x mod p)+b) mod p.
-    # A bigint shingle column is an already-hashed index (see
-    # hashed_shingle_index) — xm = xi % p is bit-identical to hashing the
-    # string here, so signatures are unchanged by the int-index rewrite.
-    already_hashed = dict(shingles.dtypes).get("shingle") == "bigint"
     sh = shingles.withColumn(
         "x",
         (
@@ -298,6 +316,11 @@ def verify_jaccard_on_candidates(
             F.collect_set("shingle").alias("_sh"),
             F.count("*").alias("n_sh"),
         )
+        # feeds BOTH join sides (sa/sb) — materialize so the semi-join +
+        # aggregation runs once per action, not once per consumer (the
+        # pre-array form checkpointed its restricted index for the same
+        # reason)
+        .localCheckpoint(eager=True)
     )
     sa = sets.select(
         F.col(id_col).alias("id_a"),
@@ -316,11 +339,17 @@ def verify_jaccard_on_candidates(
         .select(
             "id_a",
             "id_b",
+            n_common.alias("_n_common"),
             (
                 n_common / (F.col("n_a") + F.col("n_b") - n_common)
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # zero-intersection pairs vanished through the pre-array form's
+        # inner join on `common` (and vanish in the oracle CTEs' shingle
+        # equi-join); keep that contract so a threshold of 0 can't admit
+        # disjoint pairs
+        .filter((F.col("_n_common") > 0) & (F.col("jaccard") >= threshold))
+        .drop("_n_common")
     )
 
 
@@ -352,7 +381,7 @@ def minhash_near_duplicates(
     # (see hashed_shingle_index for the exactness argument).
     sh = hashed_shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
-        minhash_signatures_from_index(sh, id_col, n_perm),
+        minhash_signatures_from_index(sh, id_col, n_perm, already_hashed=True),
         id_col,
         bands,
         rows,
@@ -452,7 +481,7 @@ def minhash_near_dup_clusters(
     )
     sh = hashed_shingle_index(reps, id_col, text_col, n).localCheckpoint(eager=True)
     cands = lsh_candidate_pairs(
-        minhash_signatures_from_index(sh, id_col, n_perm),
+        minhash_signatures_from_index(sh, id_col, n_perm, already_hashed=True),
         id_col,
         bands,
         rows,

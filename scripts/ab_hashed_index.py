@@ -25,7 +25,8 @@ def _pairs(spark, sf_dir, hashed: bool):
     idx = dedup.hashed_shingle_index if hashed else dedup.shingle_index
     sh = idx(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
     cands = dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures_from_index(sh, "doc_id", 16), "doc_id", 4, 4
+        dedup.minhash_signatures_from_index(sh, "doc_id", 16, already_hashed=hashed),
+        "doc_id", 4, 4
     )
     n = dedup.verify_jaccard_on_candidates(sh, cands, "doc_id", 0.5).count()
     # storage footprint of everything currently checkpointed (the index +

@@ -1,9 +1,11 @@
 """A/B q86's exact-verify stage: two-join counting vs per-doc array intersect.
 
-Profiles the CURRENT verify (cands x shingles row explosion through two
-equi-joins) against a prototype that groups the candidate-restricted
-index into per-doc shingle-int sets and computes n_common via
-size(array_intersect) after joining the two arrays onto each pair.
+The "arrays" arm is the PRODUCTION verify
+(dedup.verify_jaccard_on_candidates, the array-intersect form since
+commit 09e94c7). The "two_join" baseline — the pre-09e94c7 formulation
+that exploded cands x shingles rows through two equi-joins — is INLINED
+below as verify_two_join so the measured ~2x claim stays reproducible
+from this script at any HEAD.
 
 Usage: python scripts/ab_verify_arrays.py [runs] [--dir DIR]
 """
@@ -23,38 +25,39 @@ from hive_feature_demo_spark.operators import dedup  # noqa: E402
 from hive_feature_demo_spark.session import get_spark  # noqa: E402
 
 
-def verify_arrays(sh, cands, id_col, threshold):
-    """Prototype: set-semantics verify via array_intersect.
+def verify_two_join(sh, cands, id_col, threshold):
+    """Baseline: the pre-09e94c7 verify, preserved verbatim.
 
-    Distinct (id, shingle-int) rows -> one array per candidate doc ->
-    join both arrays onto each pair -> n_common = size(array_intersect).
-    Avoids the candidates x shingles row explosion entirely.
+    Explodes candidates x shingles-per-doc rows through a (id, shingle)
+    equi-join and re-aggregates per pair — the formulation the production
+    array-intersect verify replaced.
     """
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = (
-        sh.join(cand_ids, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("_sh"), F.count("*").alias("n_sh"))
+    sh = sh.join(cand_ids, id_col, "left_semi").localCheckpoint(eager=True)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
     )
-    sa = sets.select(
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sets.select(
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"), F.col("n_sh").alias("n_b")
-    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        cands.join(sa, "id_a")
+        common.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("_sh_a", "_sh_b"))
-                / (F.col("n_a") + F.col("n_b") - F.size(F.array_intersect("_sh_a", "_sh_b")))
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -78,13 +81,14 @@ def main() -> None:
     # the same candidate set from the same materialized index)
     sh = dedup.hashed_shingle_index(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
     cands = dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures_from_index(sh, "doc_id", 16), "doc_id", 4, 4
+        dedup.minhash_signatures_from_index(sh, "doc_id", 16, already_hashed=True),
+        "doc_id", 4, 4
     ).localCheckpoint(eager=True)
     print("cands:", cands.count())
 
     arms = {
-        "two_join": lambda: dedup.verify_jaccard_on_candidates(sh, cands, "doc_id", 0.5),
-        "arrays": lambda: verify_arrays(sh, cands, "doc_id", 0.5),
+        "two_join": lambda: verify_two_join(sh, cands, "doc_id", 0.5),
+        "arrays": lambda: dedup.verify_jaccard_on_candidates(sh, cands, "doc_id", 0.5),
     }
     raws = {k: [] for k in arms}
     for r in range(runs):

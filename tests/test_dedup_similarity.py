@@ -492,3 +492,32 @@ def test_collapse_equivalence_property(spark, corpus):
         ).collect()
     )
     assert coll == base, (rows, base, coll)
+
+
+def test_signatures_refuse_ambiguous_int_shingles(docs_df):
+    """A bigint shingle column is only valid input when the caller declares
+    it is the 60-bit md5 fold: dtype can't distinguish a hashed index from
+    raw integer shingles, and signing raw ints as folds would silently
+    diverge from the string path."""
+    hashed = dedup.hashed_shingle_index(docs_df, "doc_id", "text")
+    with pytest.raises(ValueError, match="already_hashed"):
+        dedup.minhash_signatures_from_index(hashed, "doc_id")
+    sigs = dedup.minhash_signatures_from_index(
+        hashed, "doc_id", already_hashed=True
+    )
+    via_strings = dedup.minhash_signatures(docs_df, "doc_id", "text")
+    assert sorted(map(tuple, sigs.collect())) == sorted(
+        map(tuple, via_strings.collect())
+    )
+
+
+def test_verify_zero_threshold_excludes_disjoint_pairs(docs_df):
+    """threshold<=0 must not admit candidate pairs with zero common
+    shingles — the pre-array verify dropped them via its inner join on
+    the intersection, and the oracle CTEs' shingle equi-join still does."""
+    sh = dedup.hashed_shingle_index(docs_df, "doc_id", "text")
+    cands = docs_df.sparkSession.createDataFrame(
+        [(1, 4), (1, 5)], "id_a long, id_b long"
+    )  # 1-4 share 5 shingles; 1-5 share none
+    got = dedup.verify_jaccard_on_candidates(sh, cands, "doc_id", 0.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 4)]
