@@ -777,6 +777,18 @@ def main() -> None:
     # shows up as growth_vs_x10 >> 10 even when sf0.1 hides it. Min-of-2
     # per query by default (SPARK_GRAFT_BENCH_SCALE3_RUNS, see below);
     # disable the whole suite with SPARK_GRAFT_BENCH_SCALE3=0.
+    # mid-bench calibration (r10 verdict ask #3): the front probe predates
+    # the suites and calib_end postdates them, so a box that degrades
+    # mid-bench leaves the scale-3 numbers unadjudicable (r10: calib 1.217
+    # -> calib_end 2.446 bracketed an 87.5 s scale-3 the idle re-run read
+    # at 63.3 s, with nothing to say WHEN the slowdown started). A
+    # subprocess probe here splits the window: headline+scale2 are judged
+    # by calib..calib_mid, scale-3 by calib_mid..calib_end. Fail-soft.
+    try:
+        out["calib_mid"] = _calibrate_in_subprocess()
+    except Exception as exc:
+        out["calib_mid"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+
     if os.environ.get("SPARK_GRAFT_BENCH_SCALE3", "1") != "0":
         x100_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "data", "bench_x100"
@@ -875,6 +887,7 @@ def main() -> None:
     # cross-round comparison needs must live with the trailing gate keys
     out["calib_single_sec"] = calib.get("single_sec")
     out["calib_mt_sec"] = calib.get("mt_sec")
+    out["calib_mid_mt_sec"] = out.get("calib_mid", {}).get("mt_sec")
     # the representative-number rule's reference (r9 verdict ask #6): of
     # several runs, the one with calib_mt_sec closest to this idle value
     # is the representative headline; the rest are variance samples
