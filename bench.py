@@ -110,6 +110,19 @@ SCALE3 = [
 
 _X100_COPIES = 100
 
+#: scale-4 suite (r10 verdict ask #4, OPT-IN via SPARK_GRAFT_BENCH_SCALE4=1
+#: — not part of the default bench budget): a one-off ×1000 growth point
+#: for the two flagships whose sublinearity carries the 100 TB story.
+#: q61 reads only embeddings, q86 only documents, so the corpus holds
+#: just those two tables (×10 from the ×100 build — offsets and the
+#: bijective token rename COMPOSE, so within-copy Jaccard structure is
+#: still exactly the base corpus's and cross-copy shingle overlap stays
+#: zero). The dataset is deleted after the probe unless
+#: SPARK_GRAFT_KEEP_X1000=1 (disk budget).
+SCALE4 = ["q61_lsh_ann_topk", "q86_near_dup_clusters"]
+
+_X1000_FROM_X100_COPIES = 10
+
 #: ×100 queries sampled min-of-3 instead of min-of-2 (r9 verdict ask #4):
 #: r9's q64 raws [9.96, 49.2] showed a 5× back-to-back spread, and q86 is
 #: the other growth-gating flagship.
@@ -555,6 +568,59 @@ def _build_xn(
         f.write(_build_tag(src_dir, copies))
 
 
+def _build_x1000_docs(spark, x100_dir: str, out_dir: str) -> float:
+    """×1000 documents+embeddings corpus = the ×100 tables replicated ×10.
+
+    Same invariants as _build_xn, composed: doc_id/vec_id get a
+    power-of-10 offset per copy, and rename_tokens appends a fresh "·i"
+    suffix to every token — injective on top of the ×100 suffixes, so
+    each copy's shingle sets map bijectively onto the ×100 corpus's and
+    cross-copy overlap is zero. Only the two flagship tables are built:
+    a full ×1000 star corpus would cost ~20 GB of lineitem nobody reads.
+    Sentinel-gated like _ensure_built (tag records src=x100 + copies=10).
+    """
+    from pyspark.sql import functions as F
+
+    copies = _X1000_FROM_X100_COPIES
+    if _is_built(out_dir, x100_dir, copies):
+        return 0.0
+    t0 = time.perf_counter()
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        os.unlink(os.path.join(out_dir, _BUILD_SENTINEL))
+    except FileNotFoundError:
+        pass
+
+    def replicate(df, key: str, extra=None):
+        hi = df.agg(F.max(key)).first()[0] or 1
+        off = 1
+        while off <= hi:
+            off *= 10
+        parts = []
+        for i in range(copies):
+            p = df.withColumn(key, F.col(key) + F.lit(i * off))
+            if extra is not None:
+                p = extra(p, i)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    docs = spark.read.parquet(os.path.join(x100_dir, "documents.parquet"))
+    _write_single_file(
+        replicate(docs, "doc_id", extra=rename_tokens), out_dir, "documents"
+    )
+    emb = spark.read.parquet(os.path.join(x100_dir, "embeddings.parquet"))
+    _write_single_file(replicate(emb, "vec_id"), out_dir, "embeddings")
+    with open(os.path.join(out_dir, _BUILD_SENTINEL), "w") as f:
+        f.write(_build_tag(x100_dir, copies))
+    os.sync()
+    build_sec = round(time.perf_counter() - t0, 1)
+    print(f"bench: built x1000 docs corpus in {build_sec}s", file=sys.stderr)
+    return build_sec
+
+
 def _build_tag(src_dir: str, copies: int) -> str:
     return f"copies={copies}\nsrc={os.path.abspath(src_dir)}\n"
 
@@ -851,6 +917,55 @@ def main() -> None:
         except Exception as exc:  # scale-3 must never erase the headline line
             errors["_scale3_build"] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"bench: scale3 FAILED: {errors['_scale3_build']}", file=sys.stderr)
+
+    # fourth decade, opt-in (r10 verdict ask #4): ×1000 growth point for
+    # the two flagships only. Buys growth_vs_x100 measured instead of
+    # extrapolated; the corpus (docs+embeddings only, ~3-4 GB) is deleted
+    # after unless SPARK_GRAFT_KEEP_X1000=1.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE4", "0") == "1":
+        x1000_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", "bench_x1000"
+        )
+        try:
+            x100_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "data", "bench_x100"
+            )
+            _ensure_built(spark, sf_dir, x100_dir, _X100_COPIES, single_events=False)
+            build4_sec = _build_x1000_docs(spark, x100_dir, x1000_dir)
+            warm4_sec = _warm_tables(spark, x1000_dir)
+            t4: dict[str, float] = {}
+            raw4: dict[str, list[float]] = {}
+            s4_runs = max(
+                1, int(os.environ.get("SPARK_GRAFT_BENCH_SCALE4_RUNS", "2"))
+            )
+            _run_suite(spark, SCALE4, x1000_dir, s4_runs, t4, errors, raw=raw4)
+            x100_t = out.get("scale3", {}).get("queries", {})
+            out["scale4"] = {
+                "sf": (float(sf) if sf.replace(".", "").isdigit() else 0.1)
+                * _X100_COPIES
+                * _X1000_FROM_X100_COPIES,
+                "tables": ["documents", "embeddings"],
+                "runs": s4_runs,
+                "build_sec": build4_sec,
+                "warm_pass_sec": warm4_sec,
+                "dataset_bytes": _dir_bytes(x1000_dir),
+                "queries": t4,
+                "runs_raw": raw4,
+                "growth_vs_x100": {
+                    n: round(t4[n] / x100_t[n], 2)
+                    for n in t4
+                    if x100_t.get(n, 0) > 0
+                },
+                "total": round(sum(t4.values()), 3),
+            }
+        except Exception as exc:  # scale-4 must never erase the headline line
+            errors["_scale4_build"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"bench: scale4 FAILED: {errors['_scale4_build']}", file=sys.stderr)
+        finally:
+            if os.environ.get("SPARK_GRAFT_KEEP_X1000", "0") != "1":
+                import shutil
+
+                shutil.rmtree(x1000_dir, ignore_errors=True)
 
     # adversarial-density stress row (r6 verdict ask #7, opt-in): the
     # r5-style bag-of-words-preserving ×10 documents — short/repetitive

@@ -151,6 +151,13 @@ def main() -> int:
         # applied, not just what was requested
         "tz": os.environ.get("TZ") or "host-default",
         "tzname": list(time.tzname),
+        # JVM default locale + process locale the subprocesses ran under
+        # (r10 verdict ask #2): export
+        # JAVA_TOOL_OPTIONS="-Duser.language=tr -Duser.country=TR" and
+        # LANG=tr_TR.UTF-8 for the Turkish-İ rotating-axis sweep
+        "java_tool_options": os.environ.get("JAVA_TOOL_OPTIONS")
+        or "unset",
+        "lang": os.environ.get("LANG") or "unset",
         "sf_dir": sf_dir,
         "n_queries": len(merged),
         "pass": counts["pass"],
