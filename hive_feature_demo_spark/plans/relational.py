@@ -202,9 +202,24 @@ def q04_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # pre-aggregate to the FINEST grouping set before the rollup (r11
+    # Expand audit): a bare rollup makes Catalyst plan an Expand that
+    # multiplies every joined FACT row x3 (one copy per grouping set)
+    # before the partial aggregate. Aggregating to (r_name, n_name) first
+    # — map-side combine, one tiny shuffle of <= |region x nation| rows —
+    # leaves the Expand multiplying the ~30 pre-aggregated rows instead.
+    # Decimal partial sums re-associate exactly (exact_sum_partial/merge,
+    # the q02 bit-identity argument); COUNT(*) re-associates as SUM.
+    pre = joined.groupBy("r_name", "n_name").agg(
+        exact_sum_partial("o_totalprice", "_ts"),
+        F.count("*").alias("_n"),
+    )
     return (
-        joined.rollup("r_name", "n_name")
-        .agg(exact_sum("o_totalprice", "total_sales"), F.count("*").alias("n_orders"))
+        pre.rollup("r_name", "n_name")
+        .agg(
+            exact_sum_merge("_ts", "total_sales"),
+            F.sum("_n").alias("n_orders"),
+        )
         .select(
             F.coalesce("r_name", F.lit("__ALL__")).alias("region_name"),
             F.coalesce("n_name", F.lit("__ALL__")).alias("nation_name"),
@@ -355,9 +370,20 @@ def q08_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q09_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
+    # pre-aggregate to (status, priority) before the cube (r11 Expand
+    # audit): a bare cube Expands every FACT row x4; over the ~15
+    # pre-aggregated groups the Expand is free. Same exactness argument
+    # as q04 (decimal partials re-associate exactly, COUNT -> SUM).
+    pre = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("_n"),
+        exact_sum_partial("o_totalprice", "_tv"),
+    )
     return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), exact_sum("o_totalprice", "total_value"))
+        pre.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            exact_sum_merge("_tv", "total_value"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("__ALL__")).alias("status"),
             F.coalesce("o_orderpriority", F.lit("__ALL__")).alias("priority"),

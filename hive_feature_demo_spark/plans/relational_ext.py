@@ -118,11 +118,32 @@ _Q52_SQL = """
     ORDER BY nation_name, segment
 """
 
+# Engine-side formulation (r11 Expand audit): pre-aggregate to the finest
+# set (n_name, c_mktsegment) — map-side combine, one <=|nations x
+# segments|-row shuffle — then run the grouping sets over the partial
+# counts, so the Expand x3 multiplies ~125 rows instead of every joined
+# customer row. COUNT(*) re-associates as SUM(partial) exactly. The
+# oracle keeps the direct formulation (_Q52_SQL) so the driver compares
+# two independent shapes.
+_Q52_ENGINE_SQL = """
+    WITH pre AS (
+      SELECT n.n_name, c.c_mktsegment, COUNT(*) AS _n
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    )
+    SELECT COALESCE(n_name, '__ALL__') AS nation_name,
+           COALESCE(c_mktsegment, '__ALL__') AS segment,
+           SUM(_n) AS n_customers
+    FROM pre
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+    ORDER BY nation_name, segment
+"""
+
 
 @register("q52_grouping_sets", oracle=_Q52_SQL)
 def q52_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_testdata(spark, sf_dir)
-    return spark.sql(_Q52_SQL)
+    return spark.sql(_Q52_ENGINE_SQL)
 
 
 # ---------------------------------------------------------------------------

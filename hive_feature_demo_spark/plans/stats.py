@@ -252,18 +252,32 @@ def q90_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     fd = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
-    act = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    act = e.select("user_id", F.col("ts").cast("date").alias("d"))
     j = fd.join(act, "user_id")
+    # pre-aggregate per user before the cohort rollup (r11 Expand audit):
+    # the previous three COUNT(DISTINCT user_id)-shaped aggregates made
+    # Catalyst Expand every joined event row x3 into a wide
+    # (cohort_day, gid, user_id) shuffle. "Distinct users with >= 1
+    # qualifying day" is per-user boolean OR, so one groupBy(user_id)
+    # with MAX(flag) — map-side combine on the fact rows, no Expand, no
+    # distinct — then COUNT/SUM per cohort over the one-row-per-user
+    # table. The per-day .distinct() the old form needed is subsumed
+    # (duplicate days can't change a MAX). Oracle keeps the
+    # COUNT(DISTINCT CASE ...) formulation.
+    per_user = j.groupBy("user_id", "cohort_day").agg(
+        F.max(
+            (F.col("d") == F.date_add(F.col("cohort_day"), 1)).cast("int")
+        ).alias("_r1"),
+        F.max(
+            (F.col("d") >= F.date_add(F.col("cohort_day"), 7)).cast("int")
+        ).alias("_r7"),
+    )
     return (
-        j.groupBy("cohort_day")
+        per_user.groupBy("cohort_day")
         .agg(
-            F.countDistinct("user_id").alias("cohort_size"),
-            F.countDistinct(
-                F.when(F.col("d") == F.date_add(F.col("cohort_day"), 1), F.col("user_id"))
-            ).alias("retained_d1"),
-            F.countDistinct(
-                F.when(F.col("d") >= F.date_add(F.col("cohort_day"), 7), F.col("user_id"))
-            ).alias("retained_d7plus"),
+            F.count("*").alias("cohort_size"),
+            F.sum("_r1").alias("retained_d1"),
+            F.sum("_r7").alias("retained_d7plus"),
         )
         .orderBy("cohort_day")
     )

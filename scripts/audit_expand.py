@@ -59,6 +59,7 @@ def _audit_plan_text(plan: str) -> list[dict]:
         if not body.lstrip("*(0123456789) ").startswith("Expand"):
             continue
         sub_joins = []
+        child = None
         for nxt in lines[idx + 1 :]:
             d2 = _node_depth(nxt)
             if d2 is None:
@@ -66,11 +67,16 @@ def _audit_plan_text(plan: str) -> list[dict]:
             if d2 <= d:
                 break
             node2 = nxt[d2:].lstrip("*(0123456789) ")
+            if child is None:
+                # immediate input: HashAggregate here means the Expand
+                # multiplies BOUNDED pre-aggregated rows, not fact rows
+                child = node2.split("[")[0].split("(")[0].strip()[:40]
             if "Join" in node2.split("[")[0].split(" ")[0]:
                 sub_joins.append(node2.split("[")[0].strip()[:60])
         expands.append(
             {
                 "line": body[:200],
+                "child": child,
                 "joins_below": sub_joins,
             }
         )
@@ -150,7 +156,8 @@ def main() -> int:
     for n in summary["with_expand"]:
         r = results[n]
         jb = [e["joins_below"] for e in r["expands"]]
-        print(f"  {n}: kind={r['kind']} joins_below={jb}")
+        ch = [e.get("child") for e in r["expands"]]
+        print(f"  {n}: kind={r['kind']} child={ch} joins_below={jb}")
     if summary["errors"]:
         print("errors:", summary["errors"])
     return 0
