@@ -41,6 +41,26 @@ def minhash_params(n_perm: int) -> list[tuple[int, int]]:
     ]
 
 
+def _ckpt_disk(df: DataFrame) -> DataFrame:
+    """Materialize a CORPUS-SCALE multi-consumer intermediate on local
+    disk only (no storage-memory caching).
+
+    The dedup pipelines eagerly localCheckpoint their shingle index /
+    signature tables because 2-3 downstream stages consume them; default
+    MEMORY_AND_DISK parks those blocks in the unified region, and at the
+    x1000 corpus (2.5B index rows) the cached blocks starved the very
+    aggregations that read them (AGGREGATE_OUT_OF_MEMORY in the
+    signature groupBy). DISK_ONLY streams the blocks to local disk —
+    re-reads ride the page cache at small SFs, and execution memory
+    stays whole for aggregation state. Pair-scale intermediates (CC
+    iterations) keep the default level: they are orders of magnitude
+    smaller and re-read once per iteration.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def exact_duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical (normalized) docs: digest, size, keeper id."""
     return (
@@ -91,7 +111,7 @@ def jaccard_pairs(
     # materialize the index once: it feeds BOTH self-join sides and the
     # size table, and the shingling expression (regex split + per-position
     # slices) dominates cost if re-executed per consumer
-    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = _ckpt_disk(shingle_index(df, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -237,7 +257,7 @@ def lsh_candidate_pairs(
     # one row per doc and it feeds 2 join sides x `bands` projections —
     # materialize instead of recomputing the upstream shingle aggregation
     # per consumer (a full corpus re-scan per band at 100 TB)
-    signatures = signatures.localCheckpoint(eager=True)
+    signatures = _ckpt_disk(signatures)
     band_rows = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
@@ -309,18 +329,17 @@ def verify_jaccard_on_candidates(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sets = (
+    # feeds BOTH join sides (sa/sb) — materialize so the semi-join +
+    # aggregation runs once per action, not once per consumer (the
+    # pre-array form checkpointed its restricted index for the same
+    # reason); disk-only, the arrays are candidate-doc-scale
+    sets = _ckpt_disk(
         sh.join(cand_ids, id_col, "left_semi")
         .groupBy(id_col)
         .agg(
             F.collect_set("shingle").alias("_sh"),
             F.count("*").alias("n_sh"),
         )
-        # feeds BOTH join sides (sa/sb) — materialize so the semi-join +
-        # aggregation runs once per action, not once per consumer (the
-        # pre-array form checkpointed its restricted index for the same
-        # reason)
-        .localCheckpoint(eager=True)
     )
     sa = sets.select(
         F.col(id_col).alias("id_a"),
@@ -379,7 +398,7 @@ def minhash_near_duplicates(
     # three consumers across two stages. Hashed to the 60-bit int so the
     # checkpoint holds 2 longs/row and the verify joins compare longs
     # (see hashed_shingle_index for the exactness argument).
-    sh = hashed_shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = _ckpt_disk(hashed_shingle_index(df, id_col, text_col, n))
     cands = lsh_candidate_pairs(
         minhash_signatures_from_index(sh, id_col, n_perm, already_hashed=True),
         id_col,
@@ -479,7 +498,7 @@ def minhash_near_dup_clusters(
         id_col,
         "left_semi",
     )
-    sh = hashed_shingle_index(reps, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = _ckpt_disk(hashed_shingle_index(reps, id_col, text_col, n))
     cands = lsh_candidate_pairs(
         minhash_signatures_from_index(sh, id_col, n_perm, already_hashed=True),
         id_col,

@@ -54,6 +54,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffle-reducer HEADROOM (r11 scale-4 finding): with AQE
+        # coalescing on, every shuffle STARTS at this many partitions and
+        # AQE merges small ones back (parallelismFirst=true keeps >=
+        # core-count parallelism for small stages), but Spark can never
+        # grow a shuffle ABOVE the initial number for aggregations — so a
+        # fixed cores-sized value is a scale ceiling: the x1000 docs
+        # corpus (2.5B-row shingle index) put ~80M rows / ~1.5M groups
+        # into each of 32 reducer tasks and the signature aggregation
+        # died with UNABLE_TO_ACQUIRE_MEMORY. 8x cores keeps per-task
+        # aggregation state bounded through the fourth decade locally;
+        # the same ratio (initialPartitionNum >> executors*cores) is the
+        # standard AQE deployment shape on a real cluster.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * n_shuffle),
+        )
         # 8MB, deliberately BELOW Spark's 10MB default: un-hinted sides
         # bigger than this shuffle instead of broadcasting. Measured on
         # the ×100 bench corpus (q02): auto-broadcasting a 6M-row orders
@@ -74,7 +90,15 @@ def get_spark(
         # parquet reader rejects; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # let execution reclaim storage down to 30% (default 50%): the
+        # dedup/ANN pipelines eagerly localCheckpoint multi-GB indexes
+        # (MEMORY_AND_DISK), and at the x1000 corpus the protected half
+        # of the unified region pinned enough checkpoint blocks that
+        # 33 concurrent partial-aggregation tasks starved outright
+        # (UNABLE_TO_ACQUIRE_MEMORY ... got 0). Checkpoint blocks evict
+        # to local disk and re-read cheaply; stalled aggregations do not.
+        .config("spark.memory.storageFraction", "0.3")
     )
     if hive:
         wh = warehouse_dir or os.path.join(os.getcwd(), "spark-warehouse")
