@@ -90,7 +90,13 @@ def get_spark(
         # parquet reader rejects; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 16g deliberately: a 48g heap was trialed for the x1000 corpus
+        # and REGRESSED heavy shuffles in long-lived sessions (q02 x100
+        # 8-12s -> 90-183s in-bench; GC over a huge lazily-grown heap +
+        # RSS crowding the page cache), while fixing nothing the
+        # DISK_ONLY checkpoint policy didn't already fix — q86 at x1000
+        # runs [312, 228]s on 16g vs [261, 372]s on 48g, zero OOM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # let execution reclaim storage down to 30% (default 50%): the
         # dedup/ANN pipelines eagerly localCheckpoint multi-GB indexes
         # (MEMORY_AND_DISK), and at the x1000 corpus the protected half
