@@ -392,21 +392,42 @@ def minhash_near_duplicates(
     banding exists to avoid. Result set is identical to exact-then-filter.
     ``max_bucket_width`` bounds the hot-bucket blowup (see
     :func:`lsh_candidate_pairs`); ``None`` = exact.
+
+    The corpus shingle index is never MATERIALIZED (r11): signatures
+    aggregate the shingle stream in one pass (the map-side partial runs
+    in the same stage as the explode, so the shuffle carries one row per
+    doc, not per shingle), candidate pairs are checkpointed
+    (pairs-scale), and the verify stage RE-SHINGLES only the candidate
+    docs. The previous shape checkpointed the full (id, shingle) index
+    for its two consumers — at the x1000 corpus that is ~40 GB written
+    and read back, and it dominated the pipeline: A/B
+    (scripts/ab_verify_recompute.py, identical pair sets asserted)
+    measured 12.6 s vs 20.2 s at x100 (1.6x), 112.8 s vs 207.5 s at
+    x1000 (1.8x; 3.9x cold), with a worst case of +13% on the
+    adversarial-density stress corpus where candidate docs approach the
+    whole corpus and the second shingling pass is corpus-sized.
     """
-    # ONE shingling pass feeds signatures AND the verify join (see
-    # minhash_signatures_from_index); materialized because it anchors
-    # three consumers across two stages. Hashed to the 60-bit int so the
-    # checkpoint holds 2 longs/row and the verify joins compare longs
-    # (see hashed_shingle_index for the exactness argument).
-    sh = _ckpt_disk(hashed_shingle_index(df, id_col, text_col, n))
-    cands = lsh_candidate_pairs(
-        minhash_signatures_from_index(sh, id_col, n_perm, already_hashed=True),
+    sig = minhash_signatures_from_index(
+        hashed_shingle_index(df, id_col, text_col, n),
         id_col,
-        bands,
-        rows,
-        max_bucket_width,
+        n_perm,
+        already_hashed=True,
     )
-    return verify_jaccard_on_candidates(sh, cands, id_col, threshold)
+    # pairs-scale; feeds BOTH the candidate-doc restriction and the
+    # verify join, and materializing it also stops the banding self-join
+    # from executing once per consumer
+    cands = lsh_candidate_pairs(
+        sig, id_col, bands, rows, max_bucket_width
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = hashed_shingle_index(
+        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    )
+    return verify_jaccard_on_candidates(sh_c, cands, id_col, threshold)
 
 
 def minhash_near_dup_clusters(
@@ -498,19 +519,21 @@ def minhash_near_dup_clusters(
         id_col,
         "left_semi",
     )
-    sh = _ckpt_disk(hashed_shingle_index(reps, id_col, text_col, n))
-    cands = lsh_candidate_pairs(
-        minhash_signatures_from_index(sh, id_col, n_perm, already_hashed=True),
-        id_col,
-        bands,
-        rows,
+    # same streamed shape as minhash_near_duplicates (no materialized
+    # corpus index; see its docstring for the r11 A/B numbers)
+    rep_pairs = minhash_near_duplicates(
+        reps, id_col, text_col, n, n_perm, bands, rows, threshold,
         max_bucket_width,
     )
-    rep_pairs = verify_jaccard_on_candidates(sh, cands, id_col, threshold)
     comp_reps = connected_components(rep_pairs)  # (node=rep, cluster)
     # dup-group cliques whose rep has shingles but no near-dup edges:
-    # they form their own component in the uncollapsed graph
-    shingled = sh.select(F.col(id_col).alias("_rep")).distinct()
+    # they form their own component in the uncollapsed graph. "Has
+    # shingles" without the index: word_shingles is non-empty iff the
+    # doc has >= n whitespace tokens (textops.word_shingles emits
+    # array() below that, and explode of array()/null yields no rows).
+    shingled = reps.filter(F.size(tokens(text_col)) >= n).select(
+        F.col(id_col).alias("_rep")
+    )
     extra = (
         groups.filter(F.col("_g") > 1)
         .join(shingled, "_rep", "left_semi")
