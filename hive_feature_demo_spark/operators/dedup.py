@@ -406,6 +406,15 @@ def minhash_near_duplicates(
     x1000 (1.8x; 3.9x cold), with a worst case of +13% on the
     adversarial-density stress corpus where candidate docs approach the
     whole corpus and the second shingling pass is corpus-sized.
+
+    DETERMINISTIC-INPUT REQUIREMENT: ``df`` is scanned twice (signature
+    aggregation, then the candidate semi-join re-shingle). The old eager
+    index checkpoint pinned one snapshot; now a non-deterministic
+    upstream (``sample()`` without a seed, ``rand()``-derived ids, a
+    mutating source) can yield different shingle sets between the two
+    passes. Callers with such inputs must pin a snapshot first, e.g.
+    ``df = df.localCheckpoint(eager=True)``. Every registered query
+    feeds this from deterministic parquet scans.
     """
     sig = minhash_signatures_from_index(
         hashed_shingle_index(df, id_col, text_col, n),

@@ -1,16 +1,19 @@
 """A/B the near-dup pipeline's index materialization strategy.
 
-Current (arm "ckpt_index"): hashed shingle index is localCheckpointed
-(DISK_ONLY) once and feeds BOTH the signature aggregation and the verify
-joins — at x1000 that is ~40 GB written + read back, the dominant IO.
+Baseline (arm "ckpt_index", SUPERSEDED pre-r11 production shape, inlined
+verbatim below from operators/dedup.py@6421030 so it stays reproducible
+at HEAD): hashed shingle index is localCheckpointed (DISK_ONLY) once and
+feeds BOTH the signature aggregation and the verify joins — at x1000
+that is ~40 GB written + read back, the dominant IO.
 
-Prototype (arm "reshingle"): never materialize the corpus index.
-Signatures aggregate the shingle stream directly (map-side partial over
-the explode — the shuffle carries one row per doc, not per shingle);
-candidate pairs are checkpointed (pairs-scale); verify RE-SHINGLES only
-the candidate docs (semi-join then shingle). Sparse-candidate regimes
-skip almost all the IO; dense regimes pay a second shingling CPU pass
-over candidate docs, bounded by one corpus pass.
+Current production (arm "reshingle", dedup.minhash_near_duplicates at
+HEAD): never materialize the corpus index. Signatures aggregate the
+shingle stream directly (map-side partial over the explode — the shuffle
+carries one row per doc, not per shingle); candidate pairs are
+checkpointed (pairs-scale); verify RE-SHINGLES only the candidate docs
+(semi-join then shingle). Sparse-candidate regimes skip almost all the
+IO; dense regimes pay a second shingling CPU pass over candidate docs,
+bounded by one corpus pass.
 
 Both arms must return identical pair counts.
 
@@ -33,32 +36,29 @@ from hive_feature_demo_spark.session import get_spark  # noqa: E402
 
 
 def pairs_ckpt_index(spark, docs, threshold=0.5):
-    """Production shape: one DISK_ONLY index checkpoint, two consumers."""
-    return dedup.minhash_near_duplicates(
-        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=threshold
+    """Superseded baseline (pre-r11 production shape), inlined verbatim
+    from operators/dedup.py@6421030: one DISK_ONLY corpus-index
+    checkpoint anchors three consumers — the signature aggregation AND
+    both sides of the verify join. minhash_near_duplicates no longer
+    works this way (it streams signatures and re-shingles candidates),
+    so the baseline must live here to stay reproducible."""
+    sh = dedup._ckpt_disk(dedup.hashed_shingle_index(docs, "doc_id", "text", 3))
+    cands = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures_from_index(sh, "doc_id", 16, already_hashed=True),
+        "doc_id",
+        4,
+        4,
+        None,
     )
+    return dedup.verify_jaccard_on_candidates(sh, cands, "doc_id", threshold)
 
 
 def pairs_reshingle(spark, docs, threshold=0.5):
-    """Prototype: stream signatures, checkpoint candidates, re-shingle
-    candidate docs for the verify stage."""
-    sig = dedup.minhash_signatures_from_index(
-        dedup.hashed_shingle_index(docs, "doc_id", "text", 3),
-        "doc_id",
-        16,
-        already_hashed=True,
+    """Production shape at HEAD (r11+): stream signatures, checkpoint
+    candidates (pairs-scale), re-shingle candidate docs for verify."""
+    return dedup.minhash_near_duplicates(
+        docs, "doc_id", "text", n=3, n_perm=16, bands=4, rows=4, threshold=threshold
     )
-    cands = dedup.lsh_candidate_pairs(sig, "doc_id", 4, 4).localCheckpoint(
-        eager=True
-    )
-    cand_ids = (
-        cands.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
-    sh_c = dedup.hashed_shingle_index(cand_docs, "doc_id", "text", 3)
-    return dedup.verify_jaccard_on_candidates(sh_c, cands, "doc_id", threshold)
 
 
 def main() -> None:
