@@ -2980,7 +2980,12 @@ def q296_dedup_roi_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).select(
         "id_b", "jaccard"
     ).localCheckpoint(eager=True)
-    thr = spark.createDataFrame([(0.5,), (0.7,), (0.9,)], "threshold double")
+    # broadcast the 3-row grid: un-hinted, Spark plans CartesianProduct
+    # (right side re-evaluated per left partition); broadcast-NLJ streams
+    # the big side exactly once (r12 plan audit, scripts/audit_plans.py)
+    thr = F.broadcast(
+        spark.createDataFrame([(0.5,), (0.7,), (0.9,)], "threshold double")
+    )
     removed = (
         thr.crossJoin(pairs)
         .filter(F.col("jaccard") >= F.col("threshold"))

@@ -732,3 +732,16 @@ def test_retention_cohorts_no_expand(spark):
 
     plan = _simple_plan(q91_retention_cohorts(spark, SF_DIR))
     assert "Expand" not in plan, plan
+
+
+def test_q296_threshold_grid_broadcast_no_cartesian(spark):
+    """r12 plan audit (scripts/audit_plans.py): q296's 3-row threshold
+    grid crossJoins the pair table and the documents scan. Un-hinted,
+    Spark planned a CartesianProduct (the streamed side re-evaluated per
+    left partition); the grid must broadcast so each big side streams
+    exactly once."""
+    from hive_feature_demo_spark.plans.audit_ops import q296_dedup_roi_curve
+
+    plan = _simple_plan(q296_dedup_roi_curve(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
