@@ -49,7 +49,12 @@ _SESS_SQL = """
     ), s AS (
       SELECT user_id, session_seq, MIN(ts) AS s_start, MAX(ts) AS s_end
       FROM sess GROUP BY user_id, session_seq
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
+      -- MATERIALIZED (DuckDB/Postgres CTE hint): the quadratic session
+      -- self-join is referenced 2-3x by the graph oracles (q185/q186/
+      -- q254/q274/q328) and DuckDB 1.0 inlines CTEs, re-executing it per
+      -- reference — q328's oracle measured 117 s plain vs 35 s with
+      -- pairs pinned at sf0.1. Result-identical (compare()-verified).
       SELECT a.user_id AS ua, b.user_id AS ub
       FROM s a JOIN s b
         ON a.user_id < b.user_id
@@ -167,19 +172,22 @@ _LP_ITERS = 4
 def _lp_oracle() -> str:
     head = (
         _SESS_SQL
-        + """, edges AS (
+        + """, edges AS MATERIALIZED (
       SELECT ua AS src, ub AS dst FROM pairs
       UNION ALL
       SELECT ub AS src, ua AS dst FROM pairs
-    ), nodes AS (
+    ), nodes AS MATERIALIZED (
       SELECT DISTINCT user_id AS v FROM events
     ), l0 AS (
       SELECT v, v AS lbl FROM nodes
     )"""
     )
+    # each round references the previous round's CTE twice (current label
+    # + neighbor MIN) — inlined, DuckDB re-evaluates the whole prefix per
+    # reference, 2^k chains for k rounds; MATERIALIZED pins each round
     steps = []
     for i in range(_LP_ITERS):
-        steps.append(f""", l{i + 1} AS (
+        steps.append(f""", l{i + 1} AS MATERIALIZED (
       SELECT n.v, LEAST(cur.lbl, COALESCE(nb.nlbl, cur.lbl)) AS lbl
       FROM nodes n
       JOIN l{i} cur ON n.v = cur.v
@@ -1754,12 +1762,12 @@ def _q254_oracle() -> str:
       FROM e JOIN a{t - 1} x ON e.u = x.u JOIN a{t - 1} y ON e.v = y.u
       GROUP BY e.u
     ),
-    a{t} AS (SELECT u FROM d{t} WHERE d >= 2),"""
+    a{t} AS MATERIALIZED (SELECT u FROM d{t} WHERE d >= 2),"""
         for t in range(1, _KCORE_ROUNDS + 1)
     )
     return f"""
     {_SESS_SQL},
-    e AS (SELECT ua AS u, ub AS v FROM pairs
+    e AS MATERIALIZED (SELECT ua AS u, ub AS v FROM pairs
           UNION ALL SELECT ub, ua FROM pairs),
     a0 AS (SELECT DISTINCT u FROM e),{rounds}
     df AS (
@@ -1811,7 +1819,7 @@ def _q328_oracle() -> str:
       FROM e JOIN a{t - 1} x ON e.u = x.u JOIN a{t - 1} y ON e.v = y.u
       GROUP BY e.u
     ),
-    a{t} AS (SELECT u FROM d{t} WHERE d >= 2),"""
+    a{t} AS MATERIALIZED (SELECT u FROM d{t} WHERE d >= 2),"""
         for t in range(1, _KCORE_ROUNDS + 1)
     )
     return f"""
@@ -1828,7 +1836,7 @@ def _q328_oracle() -> str:
         FROM sym
       ) WHERE rn <= {_Q328_K}
     ),
-    ce AS (SELECT DISTINCT ua, ub FROM nom),
+    ce AS MATERIALIZED (SELECT DISTINCT ua, ub FROM nom),
     e AS (SELECT ua AS u, ub AS v FROM ce
           UNION ALL SELECT ub, ua FROM ce),
     a0 AS (SELECT DISTINCT u FROM e),{rounds}

@@ -1100,17 +1100,17 @@ def _q274_oracle() -> str:
 
     return f"""
     {_SESS_SQL},
-    und AS (
+    und AS MATERIALIZED (
       SELECT ua AS s, ub AS d FROM pairs
       UNION ALL SELECT ub, ua FROM pairs
     ),
     seed AS (SELECT MIN(ua) AS v FROM pairs),
     r0 AS (SELECT v, 0 AS hop FROM seed),
     f1 AS (SELECT u.d AS v, 1 AS hop FROM und u JOIN r0 ON u.s = r0.v),
-    r1 AS (SELECT v, MIN(hop) AS hop
+    r1 AS MATERIALIZED (SELECT v, MIN(hop) AS hop
            FROM (SELECT * FROM r0 UNION ALL SELECT * FROM f1) GROUP BY v),
     f2 AS (SELECT u.d AS v, r1.hop + 1 AS hop FROM und u JOIN r1 ON u.s = r1.v),
-    r2 AS (SELECT v, MIN(hop) AS hop
+    r2 AS MATERIALIZED (SELECT v, MIN(hop) AS hop
            FROM (SELECT * FROM r1 UNION ALL SELECT * FROM f2) GROUP BY v),
     f3 AS (SELECT u.d AS v, r2.hop + 1 AS hop FROM und u JOIN r2 ON u.s = r2.v),
     r3 AS (SELECT v, MIN(hop) AS hop
