@@ -2008,33 +2008,59 @@ def q284_incremental_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     replay_dir = scratch_dir(prefix="q284_replay_")
     state_dir = os.path.join(scratch_dir(prefix="q284_state_"), "partials")
-    for r in range(4):  # one file per residue class -> four micro-batches
-        emb.filter(F.col("vec_id") % 4 == r).coalesce(1).write.mode(
-            "append"
-        ).parquet(replay_dir)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(replay_dir).schema)
-        .option("maxFilesPerTrigger", 1)
+    # One job writes all four residue files (was: four filter+coalesce(1)
+    # jobs, i.e. FOUR full scans of the source — at 100 TB that's 4x the
+    # scan cost). repartition(4, "r") puts each residue's rows in exactly
+    # one task (hash(r) is deterministic), so every r= dir gets exactly
+    # one file -> still four one-file micro-batches.
+    (
+        emb.withColumn("r", (F.col("vec_id") % 4).cast("int"))
+        .repartition(4, "r")
+        .write.partitionBy("r")
+        .mode("overwrite")
         .parquet(replay_dir)
+    )
+    replay_glob = replay_dir + "/r=*"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(replay_glob).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_glob)
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        d = batch_df.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-        ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
-        a = d.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
-        b = d.select("vec_id", F.col("i").alias("bj"), F.col("v").alias("bv"))
+        # Map-side Gram expansion: two chained posexplodes of the SAME row's
+        # array generate every (i, j, v_i*v_j) without the former
+        # a.join(b, vec_id) — which shuffled 64 rows/vector twice and joined
+        # into a 4096-rows/vector intermediate. Here the d^2 expansion is
+        # narrow; partial aggregation combines it to <=4096 cells per task
+        # before the only (tiny) shuffle. Decimal addition is commutative +
+        # associative, so the merged sums are bit-identical to the join
+        # formulation (same product multiset). A one-file micro-batch arrives
+        # as ONE partition, which would serialize the d^2 expansion on one
+        # core — widen to the core count first (a shuffle of vec-count rows,
+        # trivial; at cluster scale batches already arrive wide and this
+        # no-ops). Gram stage A/B at sf0.1: 13-16s (join, 1 task) -> 2.0-2.6s.
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
+        e = batch_df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        d1 = e.select("vec_id", "e", F.posexplode("e").alias("pos", "av"))
+        dd = d1.select(
+            (F.col("pos") + 1).alias("i"),
+            "av",
+            F.posexplode("e").alias("pos2", "bv"),
+        )
         partial = (
-            a.join(b, "vec_id")
-            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+            dd.groupBy("i", (F.col("pos2") + 1).alias("j"))
             .agg(
                 F.sum((F.col("av") * F.col("bv")).cast("decimal(25,10)")).alias("sxy"),
                 F.count("*").alias("cnt"),
             )
         )
-        sums = d.groupBy("i").agg(
-            F.sum(F.col("v").cast("decimal(25,10)")).alias("sx"),
+        sums = d1.groupBy((F.col("pos") + 1).alias("i")).agg(
+            F.sum(F.col("av").cast("decimal(25,10)")).alias("sx"),
             F.count("*").alias("nx"),
         )
         partial.join(sums, "i").withColumn("batch_id", F.lit(batch_id)).write.mode(

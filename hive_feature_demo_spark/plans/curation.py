@@ -235,10 +235,13 @@ _BUDGET = 512
 @register(
     "q141_sequence_packing",
     oracle=f"""
-    WITH RECURSIVE toks AS (
+    WITH RECURSIVE toks AS MATERIALIZED (
       SELECT source, doc_id, CAST({_SQL_NWORDTOK} AS BIGINT) AS n_tokens
       FROM documents
-    ), docs AS (
+    ), docs AS MATERIALIZED (
+      -- MATERIALIZED: the recursive member below joins docs every
+      -- iteration; inlined, DuckDB re-tokenizes the whole corpus per step
+      -- (16.8 s plain vs 0.34 s pinned at sf0.1, rows identical).
       SELECT source, doc_id, n_tokens,
              ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       FROM toks

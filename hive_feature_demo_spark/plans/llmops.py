@@ -239,7 +239,10 @@ def q35_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_CTE = """
     toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
+      -- MATERIALIZED (pure evaluation hint, result-identical): every
+      -- consumer references sh 2-3x (sizes + the pair self-join); DuckDB
+      -- inlines plain CTEs and would re-tokenize the corpus per reference.
       SELECT doc_id,
              unnest(list_distinct(list_transform(
                generate_series(1, len(t) - 2),
@@ -303,9 +306,9 @@ _MH_COLS_SQL = ",\n             ".join(
 _SIG_CTE = f"""
     {_SHINGLES_CTE},
     shi AS (SELECT doc_id, {_XI_SQL} AS shingle FROM sh),
-    shi_d AS (SELECT DISTINCT doc_id, shingle FROM shi),
+    shi_d AS MATERIALIZED (SELECT DISTINCT doc_id, shingle FROM shi),
     x AS (SELECT doc_id, shingle % {dedup.MINHASH_PRIME} AS xm FROM shi),
-    sig AS (
+    sig AS MATERIALIZED (
       SELECT doc_id,
              {_MH_COLS_SQL}
       FROM x GROUP BY doc_id
@@ -653,30 +656,30 @@ def q38_asset_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared recursive-closure chain over the LSH-verified pair set (q86/q95):
 #: banded buckets -> candidate pairs -> exact-Jaccard verify on candidates
 #: only -> symmetric edges -> min-label transitive closure -> components.
-_LSH_CLUSTERS_CTE = f"""    buckets AS (
+_LSH_CLUSTERS_CTE = f"""    buckets AS MATERIALIZED (
 {_BUCKETS_SQL}
     ),
-    cands AS (
+    cands AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM buckets a JOIN buckets b ON a.band = b.band AND a.bd = b.bd
       WHERE a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-    common AS (
+    sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+    common AS MATERIALIZED (
       SELECT c.id_a, c.id_b, COUNT(*) AS nc
       FROM cands c
       JOIN shi_d a ON a.doc_id = c.id_a
       JOIN shi_d b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY 1, 2
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT id_a, id_b
       FROM common
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
       SELECT id_b, id_a FROM pairs
