@@ -132,6 +132,59 @@ def near_dup_pairs(
     )
 
 
+def pairwise_dim_terms(
+    df: DataFrame, vec_col: str = "embedding", keep: list[str] | None = None
+) -> DataFrame:
+    """Map-side ``d^2`` dimension-pair expansion: one row per
+    ``(input row, i, j)`` with columns ``i, j, xi, xj`` (1-based dims,
+    the row's values at those dims, as doubles) plus any ``keep`` columns.
+
+    This is the X^T X / Gram-matrix building block (q281 PCA, q284
+    incremental covariance). Two chained posexplodes of the SAME row's
+    array generate every dimension pair WITHOUT the classic
+    explode-then-self-join-on-row-id formulation — which shuffles the
+    exploded table twice and, when the source arrives as a single file
+    split (a one-file micro-batch, a small dimension table), runs the
+    entire d^2 join output on ONE task. Here the expansion is narrow and
+    feeds partial aggregation map-side; the only shuffle is the final
+    d^2-cell combine. Narrow inputs are widened to the session's core
+    count first (row-count-sized shuffle, trivial; no-op when the input
+    is already wide, i.e. always at cluster scale).
+
+    Downstream decimal sums over ``xi * xj`` are order-independent, so
+    results are bit-identical to the join formulation (same product
+    multiset) — pinned by tests/test_numeric_properties.py.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    keep = keep or []
+    e = df.select(*keep, F.col(vec_col).cast("array<double>").alias("_e"))
+    d1 = e.select(*keep, "_e", F.posexplode("_e").alias("_pos", "xi"))
+    return d1.select(
+        *keep,
+        (F.col("_pos") + 1).alias("i"),
+        "xi",
+        F.posexplode("_e").alias("_pos2", "xj"),
+    ).select(*keep, "i", (F.col("_pos2") + 1).alias("j"), "xi", "xj")
+
+
+def dim_terms(
+    df: DataFrame, vec_col: str = "embedding", keep: list[str] | None = None
+) -> DataFrame:
+    """Single-dimension expansion ``(i, xi)`` per row (first-moment pass),
+    with the same narrow-input widening as :func:`pairwise_dim_terms`."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    keep = keep or []
+    return df.select(
+        *keep, F.posexplode(F.col(vec_col).cast("array<double>")).alias("_pos", "xi")
+    ).select(*keep, (F.col("_pos") + 1).alias("i"), "xi")
+
+
 def rp_banded_near_dup_pairs(
     corpus: DataFrame,
     dim: int,

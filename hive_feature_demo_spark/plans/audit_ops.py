@@ -1753,24 +1753,21 @@ def _q281_oracle() -> str:
 @register("q281_pca_power_iteration", oracle=_q281_oracle(), category="ann")
 def q281_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
-    mu = d.groupBy("i").agg(
-        (F.sum(F.col("v").cast(_DEC)).cast("double") / F.count("*")).alias("mu")
+    # Map-side Gram (similarity.pairwise_dim_terms, shared with q284): the
+    # former a.join(b, vec_id) shuffled the exploded table twice and ran
+    # the d^2 join output through one task when the source arrived as a
+    # single file/partition. Decimal sums are order-independent ->
+    # bit-identical. Spark side 37.9s -> ~4s at sf0.1.
+    from hive_feature_demo_spark.operators import similarity
+
+    mu = similarity.dim_terms(emb, "embedding").groupBy("i").agg(
+        (F.sum(F.col("xi").cast(_DEC)).cast("double") / F.count("*")).alias("mu")
     )
-    a = d.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
-    b = d.select("vec_id", F.col("i").alias("bj"), F.col("v").alias("bv"))
-    g = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-        .agg(
-            (
-                F.sum((F.col("av") * F.col("bv")).cast(_DEC)).cast("double")
-                / F.count("*")
-            ).alias("exy")
-        )
+    g = similarity.pairwise_dim_terms(emb, "embedding").groupBy("i", "j").agg(
+        (
+            F.sum((F.col("xi") * F.col("xj")).cast(_DEC)).cast("double")
+            / F.count("*")
+        ).alias("exy")
     )
     ma = mu.select(F.col("i").alias("i"), F.col("mu").alias("mu_i"))
     mb = mu.select(F.col("i").alias("j"), F.col("mu").alias("mu_j"))
@@ -2033,34 +2030,19 @@ def q284_incremental_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a.join(b, vec_id) — which shuffled 64 rows/vector twice and joined
         # into a 4096-rows/vector intermediate. Here the d^2 expansion is
         # narrow; partial aggregation combines it to <=4096 cells per task
-        # before the only (tiny) shuffle. Decimal addition is commutative +
-        # associative, so the merged sums are bit-identical to the join
-        # formulation (same product multiset). A one-file micro-batch arrives
-        # as ONE partition, which would serialize the d^2 expansion on one
-        # core — widen to the core count first (a shuffle of vec-count rows,
-        # trivial; at cluster scale batches already arrive wide and this
-        # no-ops). Gram stage A/B at sf0.1: 13-16s (join, 1 task) -> 2.0-2.6s.
-        par = batch_df.sparkSession.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < par:
-            batch_df = batch_df.repartition(par)
-        e = batch_df.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        # before the only (tiny) shuffle (similarity.pairwise_dim_terms,
+        # shared with q281's PCA — widening, plan shape, and bit-identity
+        # are pinned there). Gram stage A/B at sf0.1: 13-16s (join
+        # formulation, 1 task) -> 2.0-2.6s.
+        from hive_feature_demo_spark.operators import similarity
+
+        dd = similarity.pairwise_dim_terms(batch_df, "embedding")
+        partial = dd.groupBy("i", "j").agg(
+            F.sum((F.col("xi") * F.col("xj")).cast("decimal(25,10)")).alias("sxy"),
+            F.count("*").alias("cnt"),
         )
-        d1 = e.select("vec_id", "e", F.posexplode("e").alias("pos", "av"))
-        dd = d1.select(
-            (F.col("pos") + 1).alias("i"),
-            "av",
-            F.posexplode("e").alias("pos2", "bv"),
-        )
-        partial = (
-            dd.groupBy("i", (F.col("pos2") + 1).alias("j"))
-            .agg(
-                F.sum((F.col("av") * F.col("bv")).cast("decimal(25,10)")).alias("sxy"),
-                F.count("*").alias("cnt"),
-            )
-        )
-        sums = d1.groupBy((F.col("pos") + 1).alias("i")).agg(
-            F.sum(F.col("av").cast("decimal(25,10)")).alias("sx"),
+        sums = similarity.dim_terms(batch_df, "embedding").groupBy("i").agg(
+            F.sum(F.col("xi").cast("decimal(25,10)")).alias("sx"),
             F.count("*").alias("nx"),
         )
         partial.join(sums, "i").withColumn("batch_id", F.lit(batch_id)).write.mode(

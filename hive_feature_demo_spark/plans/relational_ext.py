@@ -208,17 +208,37 @@ def q54_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_ok = lambda approx, exact: (  # noqa: E731
         F.abs(approx.cast("double") - exact) / exact <= F.lit(0.10)
     )
+    # Two COUNT(DISTINCT)s mixed with sketch/percentile aggs plan an
+    # Expand x3 — every fact row tripled BEFORE the shuffle, and the
+    # sort-based percentile aggs then process the tripled stream (q02's
+    # distinct-over-fact tax, no join needed to trigger it). Split: the
+    # sketches/percentiles aggregate the raw rows once; each distinct
+    # count pre-aggregates on (flag, key) map-side, then counts — no
+    # Expand anywhere, 3-row broadcast joins reassemble. 9-12s -> 2-4s at
+    # sf0.1; at 100 TB the shuffle carries 1x + two deduped key streams
+    # instead of 3x the fact.
+    plain = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("_a_orders"),
+        F.approx_count_distinct("l_partkey").alias("_a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_a_median"),
+        F.percentile("l_extendedprice", 0.45).alias("_p45"),
+        F.percentile("l_extendedprice", 0.55).alias("_p55"),
+    )
+    n_orders = (
+        l.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    n_parts = (
+        l.groupBy("l_returnflag", "l_partkey")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_parts"))
+    )
     return (
-        l.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_orderkey").alias("n_orders"),
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.approx_count_distinct("l_orderkey").alias("_a_orders"),
-            F.approx_count_distinct("l_partkey").alias("_a_parts"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("_a_median"),
-            F.percentile("l_extendedprice", 0.45).alias("_p45"),
-            F.percentile("l_extendedprice", 0.55).alias("_p55"),
-        )
+        plain.join(n_orders, "l_returnflag")
+        .join(n_parts, "l_returnflag")
         .select(
             "l_returnflag",
             "n_orders",

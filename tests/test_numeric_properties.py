@@ -160,3 +160,52 @@ def test_exact_sum_reassociation_bit_identity(spark):
         .collect()
     }
     assert one_pass == two_pass  # exact equality, not approx
+
+
+def test_pairwise_dim_terms_bit_identical_to_join_gram(spark):
+    """similarity.pairwise_dim_terms (map-side d^2 expansion) must yield
+    BIT-identical decimal Gram sums to the classic explode-then-self-join
+    formulation under any partitioning — decimal addition is exact, so
+    only the product MULTISET matters, and the two formulations must
+    produce the same one. Adversarial values: mixed magnitudes whose
+    double sums are order-sensitive."""
+    from hive_feature_demo_spark.operators import similarity
+
+    dim = 7
+    df = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.pow(F.lit(10.0), (i % 5) - 2)
+            * ((F.col("id") % 11) + 0.123456789),
+        ).alias("embedding"),
+    ).repartition(13)
+
+    d = df.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "v")
+    a = d.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
+    b = d.select("vec_id", F.col("i").alias("bj"), F.col("v").alias("bv"))
+    via_join = {
+        (r["i"], r["j"]): (r["s"], r["n"])
+        for r in a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(
+            F.sum((F.col("av") * F.col("bv")).cast("decimal(25,10)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    via_terms = {
+        (r["i"], r["j"]): (r["s"], r["n"])
+        for r in similarity.pairwise_dim_terms(df, "embedding")
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("xi") * F.col("xj")).cast("decimal(25,10)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert len(via_terms) == dim * dim
+    assert via_join == via_terms  # exact decimal equality

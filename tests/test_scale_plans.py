@@ -745,3 +745,37 @@ def test_q296_threshold_grid_broadcast_no_cartesian(spark):
     plan = _simple_plan(q296_dedup_roi_curve(spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q54_split_distinct_aggs_no_expand(spark):
+    """q54 mixes two COUNT(DISTINCT)s with sketch/percentile aggregates;
+    the single-agg form planned an Expand x3 — every fact row tripled
+    before the shuffle, with the sort-based percentile aggs processing
+    the tripled stream. The split form (sketches over raw rows; each
+    distinct count as a (flag, key) pre-aggregate) must plan no Expand
+    and reassemble via broadcast joins on the group key."""
+    from hive_feature_demo_spark.plans.relational_ext import q54_approx_sketches
+
+    plan = _simple_plan(q54_approx_sketches(spark, SF_DIR))
+    assert "Expand" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pairwise_dim_terms_gram_no_join(spark):
+    """The Gram building block (q281 PCA, q284 incremental covariance)
+    must expand dimension pairs map-side: a d^2-cell aggregate over
+    similarity.pairwise_dim_terms plans NO join of any kind (the old
+    formulation self-joined the exploded table on vec_id) and exactly
+    one aggregate exchange after partial aggregation."""
+    from hive_feature_demo_spark.operators import similarity
+
+    emb = table(spark, SF_DIR, "embeddings")
+    g = (
+        similarity.pairwise_dim_terms(emb, "embedding")
+        .groupBy("i", "j")
+        .agg(F.sum((F.col("xi") * F.col("xj")).cast("decimal(25,10)")).alias("s"))
+    )
+    plan = _simple_plan(g)
+    assert "Join" not in plan, plan
+    # partial (map-side) aggregation before the single d^2-cell shuffle
+    assert plan.count("HashAggregate") >= 2, plan
