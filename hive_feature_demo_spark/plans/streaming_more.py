@@ -50,7 +50,9 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
              unnest(string_split(text, ' ')) AS tok,
              unnest(range(1, length(string_split(text, ' ')) + 1)) AS ord
       FROM documents
-    ), chunks AS (
+    ), chunks AS MATERIALIZED (
+      -- MATERIALIZED: referenced by canon AND the final join; inlined,
+      -- DuckDB re-tokenizes + re-aggregates the corpus per reference.
       SELECT doc_id,
              CAST((ord - 1) // 20 AS BIGINT) AS chunk_id,
              md5(string_agg(tok, ' ' ORDER BY ord)) AS h
