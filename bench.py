@@ -737,6 +737,42 @@ def _run_suite(spark, names, sf_dir, runs, timings, errors, core=None, raw=None)
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
 
+def _contract_line(out: dict, timings: dict[str, float]) -> str:
+    """Driver-parseable contract line (r12 measurement fix, documented in
+    OPTIMIZATION_r12.md).
+
+    The driver archives AND PARSES only the last ~2000 chars of bench
+    stdout. BENCH_r06..r11 all record ``"parsed": null`` because the full
+    artifact line outgrew that window; r01/r02/r04/r05 — whose line was
+    exactly ``{metric, value, unit, queries, sf}`` and small — parsed
+    fine. The full artifact is still printed first for adjudication; this
+    FINAL line repeats the contract keys in r01's parsed shape plus the
+    scalar gate keys, sized to always fit the tail window whole. Same
+    queries (names and numbers), same methodology — nothing is
+    re-measured, only re-serialized small enough to survive the tail.
+    """
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": out["sf"],
+        "headline_errors": out["headline_errors"],
+        "headline_core_total": out["headline_core_total"],
+        "calib_mt_sec": out["calib_mt_sec"],
+        "calib_idle_mt_ref": _CALIB_IDLE_MT_REF,
+    }
+    for blk in ("scale2", "scale3", "scale4"):
+        t = out.get(blk, {}).get("total")
+        if t is not None:
+            compact[blk + "_total"] = t
+    line = json.dumps(compact)
+    if len(line) >= 1900:  # never let the contract line outgrow the window again
+        compact = {k: compact[k] for k in ("metric", "value", "unit", "queries", "sf")}
+        line = json.dumps(compact)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -1029,6 +1065,7 @@ def main() -> None:
     out["headline_core_total"] = out["core_total"]
     out["headline_total"] = total
     print(json.dumps(out))
+    print(_contract_line(out, timings))
     # scale-2 problems are recorded in the JSON but must not fail the
     # bench — the headline suite is the driver's contract
     if headline_errors:
