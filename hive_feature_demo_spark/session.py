@@ -82,6 +82,18 @@ def get_spark(
         # (threshold-immune), tiny sides are under 8MB anyway, and AQE
         # still locally converts when runtime sizes allow.
         .config("spark.sql.autoBroadcastJoinThreshold", "8MB")
+        # Shuffle/spill/broadcast codec, parameterised (r12 A/B,
+        # scripts/ab_shuffle_codec.py): zstd halved q02/q64 at x100 under
+        # IO pressure (q02 min 7.7 s vs 16.4 s, q64 7.3 vs 10.0, q86 wash)
+        # but cost a consistent ~8% on the CPU-bound sf0.1 headline suite
+        # (lz4 49.4/50.5 s vs zstd 53.6/55.1 s interleaved). Local default
+        # stays lz4 (Spark's default — keeps the driver's bench
+        # comparable); set SPARK_GRAFT_IO_CODEC=zstd on network/disk-bound
+        # clusters where shuffle bytes, not codec CPU, are the wall.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -83,8 +83,30 @@ def parent(rounds: int) -> None:
     print(json.dumps(results, indent=1))
 
 
+def child_suite(codec: str) -> None:
+    """One full headline-suite pass (runs=1) at $SPARK_GRAFT_SF_DIR."""
+    import bench  # noqa: E402
+    from hive_feature_demo_spark.session import get_spark  # noqa: E402
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name=f"ab-codec-suite-{codec}",
+        extra_conf={"spark.io.compression.codec": codec},
+    )
+    bench._warm_tables(spark, sf_dir)
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    bench._run_suite(spark, bench.HEADLINE, sf_dir, 1, timings, errors)
+    print(
+        "ABSUITE "
+        + json.dumps({"codec": codec, "total": round(sum(timings.values()), 3), "errors": errors})
+    )
+
+
 if __name__ == "__main__":
-    if "--arm" in sys.argv:
+    if "--suite-arm" in sys.argv:
+        child_suite(sys.argv[sys.argv.index("--suite-arm") + 1])
+    elif "--arm" in sys.argv:
         child(sys.argv[sys.argv.index("--arm") + 1])
     else:
         parent(int(sys.argv[1]) if len(sys.argv) > 1 else 2)
