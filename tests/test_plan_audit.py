@@ -80,3 +80,36 @@ def test_registry_plan_audit_within_allowlist(spark):
     assert not bnlj_bad, f"unreviewed BroadcastNestedLoopJoin: {bnlj_bad}"
     assert not smj_bad, f"un-allowlisted dim-side SortMergeJoin: {smj_bad}"
     assert not nested_bad, f"nested same-key Exchange: {nested_bad}"
+
+
+def test_registry_scan_pruning_within_allowlist(spark):
+    """Column pruning must reach every parquet scan (guide §6): no query
+    may scan EVERY column of a >=5-column table unless it semantically
+    uses every column (documented allowlist). The fact table (lineitem,
+    11 cols) has a zero-tolerance gate — at 100 TB a full-width fact scan
+    multiplies scan bytes ~2-4x. Census at r12 HEAD: 319 plans, exactly
+    the two allowlisted full-width scans (scripts/audit_scans.py)."""
+    from audit_scans import full_width_scans
+
+    FULL_WIDTH_ALLOWED = {
+        # q12 applies a scalar function to every one of part's 6 columns
+        ("q12_scalar_functions", "part"),
+        # q140 pseudonymizes/bands/aggregates all 5 customer columns
+        ("q140_pii_anonymization", "customer"),
+    }
+    widths = {}
+    for f in sorted(os.listdir(SF_DIR)):
+        if f.endswith(".parquet"):
+            t = f[: -len(".parquet")]
+            widths[t] = len(spark.read.parquet(os.path.join(SF_DIR, f)).columns)
+    explain_mode = (
+        spark._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    bad = []
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(explain_mode)
+        for table, ncols, w, _pushed in full_width_scans(plan, widths, 5):
+            if (name, table) not in FULL_WIDTH_ALLOWED:
+                bad.append((name, table, f"{ncols}/{w}"))
+    assert not bad, f"un-allowlisted full-width scans: {bad}"
