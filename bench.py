@@ -84,6 +84,12 @@ SCALE2 = [
     "q148_rolling_range_window",
     "q159_concurrent_sessions",
     "q311_bm25_retrieval",
+    # r13 additions (r12 verdict ask #4): the two r12 engine rewrites at
+    # the tier where their plan wins matter — split-distinct sketch aggs
+    # (q54) and the map-side Gram (q281). Additions-only: nothing removed
+    # or renamed; scale2_total now sums 15 queries (was 13).
+    "q54_approx_sketches",
+    "q281_pca_power_iteration",
 ]
 
 _X10_COPIES = 10
@@ -106,6 +112,12 @@ SCALE3 = [
     "q64_tfidf_top_terms",
     "q86_near_dup_clusters",
     "q148_rolling_range_window",
+    # r13 addition (r12 verdict ask #4): q54 at the ×100 tier (~60 s/run,
+    # measured 57.8/67.5 standalone warm). q281 is deliberately scale-2
+    # only: its ×100 Gram measured 66.8–117.4 s across 2 runs — too
+    # heavy/volatile for the default driver bench budget; the standalone
+    # numbers are recorded in OPTIMIZATION_r13.md instead.
+    "q54_approx_sketches",
 ]
 
 _X100_COPIES = 100
@@ -768,7 +780,20 @@ def _contract_line(out: dict, timings: dict[str, float]) -> str:
             compact[blk + "_total"] = t
     line = json.dumps(compact)
     if len(line) >= 1900:  # never let the contract line outgrow the window again
-        compact = {k: compact[k] for k in ("metric", "value", "unit", "queries", "sf")}
+        # drop the per-query map — the dominant size contributor — so the
+        # fallback is bounded UNCONDITIONALLY (r12 ADVICE: keeping queries
+        # in the fallback left the "always fits" claim unenforced); keep
+        # the scalar gate keys plus a query count, and warn loudly so a
+        # silent downgrade is visible in the run log
+        print(
+            f"bench: contract line {len(line)} chars >= 1900 — "
+            "dropping per-query map from the compact line",
+            file=sys.stderr,
+        )
+        compact = {
+            k: compact[k] for k in compact if k != "queries"
+        }
+        compact["n_queries"] = len(timings)
         line = json.dumps(compact)
     return line
 

@@ -239,13 +239,27 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
-    Shuffles on (band, band_digest) — bucket sizes, not the full pair
+    Shuffles on (band, packed band key) — bucket sizes, not the full pair
     matrix, bound the cost. Returns distinct (id_a < id_b).
 
-    ``max_bucket_width`` caps how many docs any one (band, band_digest)
-    bucket contributes (deterministic: the ``max_bucket_width`` lowest
-    ids survive, the q157 prefix-cap trick). A hot bucket of width w costs
-    w² in the self-join — one pathological bucket (boilerplate text, an
+    The bucket key packs the band's ``rows`` minhash values PAIRWISE into
+    longs (each value < MINHASH_PRIME = 2^31 - 1, so two fit a signed
+    int64 exactly: ``hi << 31 | lo``; packing into disjoint bit ranges is
+    injective). Bucket membership is therefore EXACT band-signature
+    equality — the same buckets the previous md5-of-concat digest
+    produced (digest equality ⇔ value equality absent an md5 collision,
+    which can only MERGE distinct buckets, never split one) — at ~16
+    bytes of join key instead of a 32-char digest string, with zero
+    hashing/concat CPU per bucket row (r13; the candidate join is q86's
+    widest shuffle and its payload is why the x1000 tier is
+    cache-bound). The DuckDB oracles replay the md5-digest formulation;
+    pair sets are A/B-identical at every SF (tests pin the packed-key
+    join shape and the oracle gates q46/q86/q326 pin the values).
+
+    ``max_bucket_width`` caps how many docs any one bucket contributes
+    (deterministic: the ``max_bucket_width`` lowest ids survive, the
+    q157 prefix-cap trick). A hot bucket of width w costs w² in the
+    self-join — one pathological bucket (boilerplate text, an
     empty-signature class) can dominate the whole stage at 100 TB. With
     the cap, stage cost is ≤ Σ min(w, cap)² ≤ cap · corpus — LINEAR.
     Recall tradeoff: pairs whose only shared bucket was truncated are
@@ -256,34 +270,47 @@ def lsh_candidate_pairs(
     """
     # one row per doc and it feeds 2 join sides x `bands` projections —
     # materialize instead of recomputing the upstream shingle aggregation
-    # per consumer (a full corpus re-scan per band at 100 TB)
-    signatures = _ckpt_disk(signatures)
-    band_rows = []
+    # per consumer (a full corpus re-scan per band at 100 TB). Packing
+    # happens BEFORE the checkpoint so (a) it is computed once, not per
+    # band projection, and (b) the DISK_ONLY checkpoint carries
+    # bands*ceil(rows/2) packed longs instead of bands*rows raw minhashes
+    # — half the materialized bytes at the default 4x4 config.
+    n_keys = (rows + 1) // 2
+    key_cols = ["band"] + [f"bk_{j}" for j in range(n_keys)]
+    packed_cols = []
     for bi in range(bands):
-        cols = [F.col(f"mh_{bi * rows + r}").cast("string") for r in range(rows)]
-        band_rows.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_digest"),
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        for j in range(0, rows - 1, 2):
+            packed_cols.append(
+                (F.shiftleft(cols[j], 31) + cols[j + 1]).alias(f"bk_{bi}_{j // 2}")
             )
+        if rows % 2:
+            packed_cols.append(cols[-1].alias(f"bk_{bi}_{rows // 2}"))
+    packed = _ckpt_disk(signatures.select(F.col(id_col), *packed_cols))
+    band_rows = [
+        packed.select(
+            F.col(id_col),
+            F.lit(bi).alias("band"),
+            *[F.col(f"bk_{bi}_{j}").alias(f"bk_{j}") for j in range(n_keys)],
         )
+        for bi in range(bands)
+    ]
     buckets = band_rows[0]
     for br in band_rows[1:]:
         buckets = buckets.unionByName(br)
     if max_bucket_width is not None:
         from pyspark.sql import Window
 
-        w = Window.partitionBy("band", "band_digest").orderBy(id_col)
+        w = Window.partitionBy(*key_cols).orderBy(id_col)
         buckets = (
             buckets.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= max_bucket_width)
             .drop("_rk")
         )
-    a = buckets.select(F.col(id_col).alias("id_a"), "band", "band_digest")
-    b = buckets.select(F.col(id_col).alias("id_b"), "band", "band_digest")
+    a = buckets.select(F.col(id_col).alias("id_a"), *key_cols)
+    b = buckets.select(F.col(id_col).alias("id_b"), *key_cols)
     return (
-        a.join(b, ["band", "band_digest"])
+        a.join(b, key_cols)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -502,10 +529,21 @@ def minhash_near_dup_clusters(
     if collapse_exact == "auto":
         # one map-side-partial aggregation job (count + HLL distinct over
         # the digest): no shuffle of rows, no materialization. Approx
-        # stats are fine — they steer a physical-only choice.
+        # stats are fine — they steer a physical-only choice — so the
+        # probe hashes with codegen-native xxhash64 instead of the
+        # grouping digest's md5 (r13: the md5 probe alone cost ~1.5 s
+        # warm per q86 run at the x100 corpus, xxhash64 ~1.3 s; the
+        # HLL estimate differs within its own ±2% error either way).
+        # The COLLAPSE branch below keeps the md5 digest: grouping
+        # equality there decides results, and 128 bits keeps the
+        # collision probability at ~0 where a 64-bit hash would make it
+        # merely unlikely.
         stats = df.agg(
             F.count("*").alias("_t"),
-            F.approx_count_distinct(digest_expr, 0.02).alias("_r"),
+            F.approx_count_distinct(
+                F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
+                0.02,
+            ).alias("_r"),
         ).first()
         n_docs, n_reps = int(stats["_t"] or 0), int(stats["_r"] or 0)
         collapse_exact = (n_docs - n_reps) >= collapse_min_dup_frac * n_docs

@@ -68,12 +68,25 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw columns have known decimal precision (qty integral, money 2dp):
     # lossless fixed-point long sums, ~2x the decimal path's throughput;
     # the derived products keep DECIMAL(25,10) exactness
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
     l = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # single-row-group local testdata arrives as ONE scan split, so the
+    # whole scan+aggregate ran on one core (guide §2.5 input skew; the
+    # 8-vs-32-core bench ratio read 1.0). Hash fan-out on the
+    # high-cardinality PK parallelizes the aggregation — keyed, not
+    # round-robin, so no sort-before-repartition tax — and is a no-op
+    # once scan splits exceed cores (always at 100 TB). Decimal/fixed
+    # sums are order-independent, so results are bit-identical.
+    # Measured r13 (interleaved min-of-4): 1.43 s -> 0.87 s.
+    filtered = fan_out_scan(
+        l.filter(F.col("l_shipdate") <= F.lit(_Q01_CUTOFF).cast("timestamp")),
+        "l_orderkey",
+    )
     return (
-        l.filter(F.col("l_shipdate") <= F.lit(_Q01_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        filtered.groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum_fixed("l_quantity", 0, "sum_qty"),
             exact_sum_fixed("l_extendedprice", 2, "sum_base_price"),
@@ -121,7 +134,15 @@ def q02_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # addition is exact); o_orderkey is the orders PK (TPC-H), so each
     # per-order row joins at most once and COUNT(*) = COUNT(DISTINCT).
     # customer is a dimension (1.5k rows/GB-scale even at SF100k) -> broadcast.
-    per_order = l.groupBy("l_orderkey").agg(
+    # fan the single-split local scan out on the grouping key BEFORE the
+    # per-order aggregate (guide §2.5): the repartition provides exactly
+    # the hashpartitioning the aggregation needs, so the plan still has
+    # ONE exchange below the join — the 600k-row partial aggregation just
+    # runs on every core instead of the lone scan task. No-op at scale;
+    # measured r13 (interleaved min-of-4): 1.49 s -> 0.85 s.
+    from hive_feature_demo_spark.operators.skew import fan_out_scan
+
+    per_order = fan_out_scan(l, "l_orderkey").groupBy("l_orderkey").agg(
         exact_sum_partial(
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "_rev"
         )

@@ -386,7 +386,13 @@ def q69_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "purchase_value",
     )
     name = f"q69_out_{next(_STREAM_RUN_SEQ)}"
-    sops.run_to_memory(out, name, output_mode="append")
+    # once-trigger: an INNER stream-stream join emits every match in the
+    # micro-batch its rows arrive, so the single-batch replay is
+    # output-identical and skips the trailing watermark-advance batch's
+    # state-store load/commit round (~1.2 s of this query's 3.2 s at
+    # sf0.1 — r13, scripts/profile_streaming.py; never valid for
+    # leftOuter/windowed outputs, see run_to_memory)
+    sops.run_to_memory(out, name, output_mode="append", once=True)
     return spark.table(name).orderBy("user_id", "click_id", "purchase_id")
 
 

@@ -194,6 +194,7 @@ def run_to_memory(
     output_mode: str = "append",
     shuffle_partitions: int | None = 8,
     available_now: bool = False,
+    once: bool = False,
 ) -> None:
     """Drive a streaming DataFrame to completion into an in-memory table.
 
@@ -211,8 +212,26 @@ def run_to_memory(
     sf0.1 (PERF.md); NOT the default because the continuous-trigger path
     runs a final no-data micro-batch that advances the watermark — which
     watermark-eviction outputs (leftOuter join releases, append-mode final
-    windows) rely on for end-of-input flushing.
+    windows) rely on for end-of-input flushing. (AvailableNow ALSO runs
+    that final batch — measured r13, 2 batches either way — hence the
+    wash.)
+
+    ``once`` uses the legacy one-shot trigger, which processes ALL
+    available input in a SINGLE micro-batch and terminates WITHOUT the
+    trailing watermark-advance batch. ONLY valid for queries whose every
+    output row is emitted in the batch its input arrives — inner/semi
+    stream-stream joins, stateless projections/enrichment, dropDuplicates
+    — never for watermark-EVICTION outputs (leftOuter releases,
+    append-mode final windows, session closes), which would stay buffered
+    in state and be silently dropped at stop. For an eligible query the
+    result is identical (pinned by tests + the q69 oracle) and the replay
+    skips one full state-store load/commit round: q69 at sf0.1 measured
+    2.47–2.49 s (once) vs 3.6–3.96 s (processAllAvailable), ~1.2 s of
+    which was the no-data batch's addBatch + state commit (r13,
+    scripts/profile_streaming.py).
     """
+    if once and available_now:
+        raise ValueError("once and available_now are mutually exclusive")
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -225,9 +244,11 @@ def run_to_memory(
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif once:
+            writer = writer.trigger(once=True)
         q = writer.start()
         try:
-            if available_now:
+            if available_now or once:
                 q.awaitTermination()
             else:
                 q.processAllAvailable()

@@ -20,10 +20,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hive_feature_demo_spark.plans import REGISTRY  # noqa: E402
 from hive_feature_demo_spark.session import get_spark  # noqa: E402
 
-_SCAN_RE = re.compile(
-    r"\(\d+\) Scan parquet ?\n(?:.*\n)*?Location: \S+ \[\S*?/(\w+)\.parquet\]"
-    r"(?:\n(?:.*\n)*?PushedFilters: (\[.*?\]))?(?:\n(?:.*\n)*?ReadSchema: struct<(.*?)>)?",
-)
+# formatted-plan node headers: "(N) NodeName". The details section lists one
+# such block per operator; a scan's Location/PushedFilters/ReadSchema lines
+# all live inside its own block, so the parse FIRST slices the plan into
+# per-scan chunks and only then matches fields within each chunk (r12
+# ADVICE: the old single multi-line regex could walk past a non-matching
+# node into its neighbor and misattribute fields).
+_ANY_NODE_RE = re.compile(r"^\(\d+\) ", re.M)
+_SCAN_NODE_RE = re.compile(r"^\(\d+\) Scan parquet\b", re.M)
+_LOC_TABLE_RE = re.compile(r"/(\w+)\.parquet[\],/]")
+
+
+def _scan_chunks(plan: str):
+    """Yield the details-section text of each `Scan parquet` node."""
+    headers = [m.start() for m in _ANY_NODE_RE.finditer(plan)]
+    for m in _SCAN_NODE_RE.finditer(plan):
+        start = m.start()
+        following = [h for h in headers if h > start]
+        yield plan[start : following[0] if following else len(plan)]
+
+
+def _top_level_fields(schema: str) -> int:
+    """Number of TOP-LEVEL fields in a ReadSchema struct body (r12 ADVICE:
+    counting ':' overcounts nested struct/map members; commas are counted
+    only at bracket depth 0, so decimal(12,2) / struct<...> / map<...>
+    internals don't inflate the width)."""
+    depth = 0
+    n_commas = 0
+    has_content = False
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n_commas += 1
+        elif not ch.isspace():
+            has_content = True
+    return n_commas + 1 if has_content else 0
 
 
 def full_width_scans(
@@ -32,9 +66,20 @@ def full_width_scans(
     """(table, read_cols, table_cols, pushed) for each scan of a
     ``min_width``-plus-column table that reads EVERY column."""
     out = []
-    for m in _SCAN_RE.finditer(plan):
-        table, pushed, schema = m.group(1), m.group(2) or "[]", m.group(3) or ""
-        ncols = schema.count(":") if schema else 0
+    for chunk in _scan_chunks(plan):
+        loc = re.search(r"^Location: .*$", chunk, re.M)
+        # multi-path InMemoryFileIndex locations list several paths; only a
+        # single-table location can be attributed to one width
+        tables = set(_LOC_TABLE_RE.findall(loc.group(0) + ",")) if loc else set()
+        if len(tables) != 1:
+            continue
+        table = next(iter(tables))
+        pushed_m = re.search(r"^PushedFilters: (\[.*\])", chunk, re.M)
+        pushed = pushed_m.group(1) if pushed_m else "[]"
+        # greedy to the LAST '>' on the line so nested structs don't
+        # truncate the captured schema body
+        schema_m = re.search(r"^ReadSchema: struct<(.*)>\s*$", chunk, re.M)
+        ncols = _top_level_fields(schema_m.group(1)) if schema_m else 0
         w = widths.get(table)
         if w and ncols >= w and w >= min_width:
             out.append((table, ncols, w, pushed))
@@ -62,13 +107,16 @@ def main() -> int:
     full_width = Counter()
     offenders: list[tuple[str, str, int, int, str]] = []
     errors = 0
+    explain_mode = (
+        spark._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
         try:
             df = q.fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-                df._jdf.queryExecution(), "formatted"
-            )
+            plan = df._jdf.queryExecution().explainString(explain_mode)
         except Exception as exc:  # noqa: BLE001
             errors += 1
             print(f"{name}: ERROR {type(exc).__name__}: {exc}"[:160])

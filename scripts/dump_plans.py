@@ -28,11 +28,14 @@ def main() -> int:
     outdir, suffix, names = argv[0], argv[1], argv[2:]
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark()
+    explain_mode = (
+        spark._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = df._jdf.queryExecution().explainString(explain_mode)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)

@@ -67,13 +67,17 @@ def test_contract_line_survives_tail_truncation_like_the_driver():
 
 
 def test_contract_line_drops_extras_rather_than_outgrow_window():
+    # the fallback must be bounded UNCONDITIONALLY (r13, r12 ADVICE): an
+    # arbitrarily large per-query map may not push the line past the
+    # window — the queries map is dropped, a count kept in its place
     out, timings = _fake_out_and_timings()
-    long_timings = {f"q{i:03d}_" + "x" * 40: 1.0 for i in range(40)}
+    long_timings = {f"q{i:03d}_" + "x" * 40: 1.0 for i in range(120)}
     line = bench._contract_line(out, long_timings)
-    assert len(line) < 1900 or set(json.loads(line)) == {
-        "metric",
-        "value",
-        "unit",
-        "queries",
-        "sf",
-    }
+    assert len(line) < 1900, f"{len(line)} chars"
+    parsed = json.loads(line)
+    assert parsed["value"] == out["value"]
+    assert "queries" not in parsed
+    assert parsed["n_queries"] == len(long_timings)
+    # the scalar gate keys survive the fallback
+    for key in ("headline_errors", "headline_core_total", "calib_mt_sec"):
+        assert key in parsed

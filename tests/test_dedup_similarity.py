@@ -407,6 +407,60 @@ def test_lsh_bucket_width_cap(spark):
     }
 
 
+def test_packed_band_key_matches_md5_digest_candidates(docs_df):
+    """r13: the LSH bucket key packs each band's minhash values pairwise
+    into longs instead of md5-ing their string concat. Bucket membership
+    is exact band-signature equality either way, so the candidate pair
+    set must be IDENTICAL to the legacy digest formulation (which the
+    DuckDB oracles still replay) — capped and uncapped."""
+    from pyspark.sql import Window
+
+    sig = dedup.minhash_signatures(docs_df, "doc_id", "text")
+
+    def md5_digest_pairs(max_bucket_width=None):
+        band_rows = []
+        for bi in range(4):
+            cols = [F.col(f"mh_{bi * 4 + r}").cast("string") for r in range(4)]
+            band_rows.append(
+                sig.select(
+                    F.col("doc_id"),
+                    F.lit(bi).alias("band"),
+                    F.md5(F.concat_ws("_", *cols)).alias("bd"),
+                )
+            )
+        buckets = band_rows[0]
+        for br in band_rows[1:]:
+            buckets = buckets.unionByName(br)
+        if max_bucket_width is not None:
+            w = Window.partitionBy("band", "bd").orderBy("doc_id")
+            buckets = (
+                buckets.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_bucket_width)
+                .drop("_rk")
+            )
+        a = buckets.select(F.col("doc_id").alias("id_a"), "band", "bd")
+        b = buckets.select(F.col("doc_id").alias("id_b"), "band", "bd")
+        return (
+            a.join(b, ["band", "bd"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+
+    for cap in (None, 2):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.lsh_candidate_pairs(
+                sig, "doc_id", max_bucket_width=cap
+            ).collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"]) for r in md5_digest_pairs(cap).collect()
+        }
+        assert got == want, f"cap={cap}: {got ^ want}"
+    assert got, "corpus must produce at least one candidate pair"
+
+
 def test_collapsed_clusters_auto_both_branches(spark):
     """collapse_exact='auto' must return the identical clusters whether
     the dup-mass stats trip the collapse (dup-heavy corpus) or skip it

@@ -9,33 +9,26 @@ from __future__ import annotations
 import pytest
 
 from hive_feature_demo_spark.plans import REGISTRY
-from tests.oracle import compare, duckdb_con
 
 _WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle)
 
 
-@pytest.fixture(scope="module")
-def con(sf_dir):
-    c = duckdb_con(sf_dir)
-    yield c
-    c.close()
-
-
 @pytest.mark.parametrize("name", _WITH_ORACLE)
-def test_oracle_parity(name, spark, sf_dir, con):
-    q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)
-    problems = compare(df, con, q.oracle)
-    assert not problems, f"{name}: " + " | ".join(problems)
+def test_oracle_parity(name, registry_sweep):
+    rec = registry_sweep[name]
+    assert rec["error"] is None, f"{name} failed to run: {rec['error']}"
+    assert not rec["problems"], f"{name}: " + " | ".join(rec["problems"])
 
 
-def test_all_queries_return_rows(spark, sf_dir):
+def test_all_queries_return_rows(registry_sweep):
+    # every query must at least build and run (the sweep fully executes
+    # each one via the oracle compare / limit(1) fallback); emptiness is
+    # allowed only for queries whose semantics can legitimately produce
+    # zero rows
     for name, q in sorted(REGISTRY.items()):
-        df = q.fn(spark, sf_dir)
-        assert df.columns, f"{name} has no columns"
-        # every query must at least run; emptiness is allowed only for
-        # queries whose semantics can legitimately produce zero rows
-        df.limit(1).collect()
+        rec = registry_sweep[name]
+        assert rec["error"] is None, f"{name} failed to run: {rec['error']}"
+        assert rec["columns"], f"{name} has no columns"
 
 
 def test_asof_join_null_value_column(spark):

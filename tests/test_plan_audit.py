@@ -54,17 +54,15 @@ SMJ_DIM_ALLOWED = {
 }
 
 
-def test_registry_plan_audit_within_allowlist(spark):
+def test_registry_plan_audit_within_allowlist(registry_sweep):
     cartesian_bad: list[str] = []
     bnlj_bad: list[str] = []
     smj_bad: list[str] = []
     nested_bad: list[str] = []
-    explain_mode = (
-        spark._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
-    )
     for name in sorted(REGISTRY):
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        r = _audit_plan(df._jdf.queryExecution().explainString(explain_mode))
+        rec = registry_sweep[name]
+        assert rec["error"] is None, f"{name} failed to plan: {rec['error']}"
+        r = _audit_plan(rec["simple"])
         if any(c["class"] == "review" for c in r["cartesian"]):
             cartesian_bad.append(name)
         if (
@@ -82,7 +80,7 @@ def test_registry_plan_audit_within_allowlist(spark):
     assert not nested_bad, f"nested same-key Exchange: {nested_bad}"
 
 
-def test_registry_scan_pruning_within_allowlist(spark):
+def test_registry_scan_pruning_within_allowlist(spark, registry_sweep):
     """Column pruning must reach every parquet scan (guide §6): no query
     may scan EVERY column of a >=5-column table unless it semantically
     uses every column (documented allowlist). The fact table (lineitem,
@@ -102,13 +100,11 @@ def test_registry_scan_pruning_within_allowlist(spark):
         if f.endswith(".parquet"):
             t = f[: -len(".parquet")]
             widths[t] = len(spark.read.parquet(os.path.join(SF_DIR, f)).columns)
-    explain_mode = (
-        spark._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
     bad = []
     for name in sorted(REGISTRY):
-        df = REGISTRY[name].fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().explainString(explain_mode)
+        rec = registry_sweep[name]
+        assert rec["error"] is None, f"{name} failed to plan: {rec['error']}"
+        plan = rec["formatted"]
         for table, ncols, w, _pushed in full_width_scans(plan, widths, 5):
             if (name, table) not in FULL_WIDTH_ALLOWED:
                 bad.append((name, table, f"{ncols}/{w}"))

@@ -637,8 +637,12 @@ def test_near_dup_pipeline_plan_shape(spark):
             dedup.lsh_candidate_pairs(sig, "doc_id", max_bucket_width=width)
         )
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
-        # the bucket join is an equi-join on (band, band_digest)
-        assert "band_digest" in plan
+        # the bucket join is an equi-join on (band, packed band-signature
+        # longs) — r13: the md5 digest string key was replaced by exact
+        # pairwise-packed minhash values (same buckets, ~half the key
+        # bytes, no md5/concat per bucket row)
+        assert "bk_0" in plan and "bk_1" in plan
+        assert "md5" not in plan, "band key must not re-hash the signature"
     # the verify stage joins the candidate-restricted index, still
     # equi-only (id and (id, shingle) keys)
     pairs = dedup.minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)

@@ -178,6 +178,43 @@ def test_stream_stream_join(spark, tmp_path):
     assert rows[0]["purchase_value"] == 50.0
 
 
+def test_stream_stream_join_once_trigger_matches_replay(spark, tmp_path):
+    """r13 (q69): the once-trigger single-batch replay of an INNER
+    stream-stream join is output-identical to the processAllAvailable
+    replay — every match emits in the batch its rows arrive, so the
+    trailing watermark-advance batch contributes nothing — and runs
+    exactly ONE micro-batch (the saved state-store round is the point)."""
+    batches = [
+        [
+            (1, _ns(0), 1, "click", 0.0, "{}"),
+            (2, _ns(10), 1, "purchase", 50.0, "{}"),
+            (3, _ns(50), 1, "purchase", 70.0, "{}"),
+            (4, _ns(11), 2, "purchase", 90.0, "{}"),
+            (5, _ns(12), 2, "click", 0.0, "{}"),
+            (6, _ns(15), 2, "purchase", 30.0, "{}"),
+        ],
+    ]
+    path = _stream_dir(spark, tmp_path, batches)
+
+    def rows_for(**kw):
+        stream = ops.events_stream(spark, path)
+        joined = ops.click_purchase_join(
+            stream, horizon="30 minutes", watermark="10 minutes"
+        )
+        name = "t_once_" + "_".join(f"{k}{v}" for k, v in kw.items())
+        ops.run_to_memory(joined, name, output_mode="append", **kw)
+        got = sorted(
+            (r["click_id"], r["purchase_id"], r["purchase_value"])
+            for r in spark.table(name).collect()
+        )
+        return got, len(ops.LAST_PROGRESS.get(name, []))
+
+    base, base_batches = rows_for()
+    once, once_batches = rows_for(once=True)
+    assert once == base == [(1, 2, 50.0), (5, 6, 30.0)]
+    assert base_batches == 2 and once_batches == 1, (base_batches, once_batches)
+
+
 def test_stream_stream_semi_join(spark, tmp_path):
     """LEFT SEMI: a converted click emits exactly once (click columns
     only) even when several purchases match; unconverted clicks never
