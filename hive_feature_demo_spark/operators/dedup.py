@@ -527,22 +527,30 @@ def minhash_near_dup_clusters(
     digest_expr = F.md5(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
     if collapse_exact == "auto":
-        # one map-side-partial aggregation job (count + HLL distinct over
-        # the digest): no shuffle of rows, no materialization. Approx
-        # stats are fine — they steer a physical-only choice — so the
-        # probe hashes with codegen-native xxhash64 instead of the
-        # grouping digest's md5 (r13: the md5 probe alone cost ~1.5 s
-        # warm per q86 run at the x100 corpus, xxhash64 ~1.3 s; the
-        # HLL estimate differs within its own ±2% error either way).
-        # The COLLAPSE branch below keeps the md5 digest: grouping
-        # equality there decides results, and 128 bits keeps the
-        # collision probability at ~0 where a 64-bit hash would make it
-        # merely unlikely.
+        # one aggregation job: count + EXACT distinct over a 64-bit
+        # xxhash64 of the collapsed text. Exact, not HLL (r13): the
+        # collapse threshold (default 1%) sits INSIDE an rsd-0.02 HLL's
+        # noise band, so the decision flipped corpus-to-corpus on
+        # estimator luck — the inherited md5-HLL probe engaged the
+        # collapse machinery at sf0.001 (true dup mass: ZERO) and an
+        # xxhash64-HLL flipped sf0.1 the same way (~+2.5 s/run for 0.16%
+        # dup mass); a tighter HLL (rsd 0.005) costs 6.2 s warm at the
+        # x100 corpus vs 0.8–1.0 s for the exact count (map-side partial
+        # dedup: the shuffle carries one 8-byte digest per DISTINCT text
+        # per task, and warm it measured at or below the rsd-0.02 HLL's
+        # 0.9 s). The decision is now a deterministic property of the
+        # corpus. Scale note: worst-case probe shuffle is distinct-count
+        # x 8 B (the collapse branch's own digest groupBy shuffles the
+        # same mass when it engages); a 100 TB deployment that wants a
+        # registers-only probe can pass collapse_exact explicitly.
+        # xxhash64, not md5: codegen-native, and a 64-bit collision only
+        # perturbs a COUNT feeding a physical-only choice — the COLLAPSE
+        # branch below keeps the md5 digest, where grouping equality
+        # decides results.
         stats = df.agg(
             F.count("*").alias("_t"),
-            F.approx_count_distinct(
-                F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")),
-                0.02,
+            F.count_distinct(
+                F.xxhash64(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
             ).alias("_r"),
         ).first()
         n_docs, n_reps = int(stats["_t"] or 0), int(stats["_r"] or 0)

@@ -461,6 +461,28 @@ def test_packed_band_key_matches_md5_digest_candidates(docs_df):
     assert got, "corpus must produce at least one candidate pair"
 
 
+def test_auto_collapse_probe_statistic_is_exact(spark):
+    """r13: the collapse_exact='auto' probe is an EXACT distinct count
+    over the 64-bit digest of the whitespace-collapsed text — not an HLL
+    estimate. The inherited rsd-0.02 HLL flipped the branch choice on
+    estimator noise (the 1% threshold sits inside ±2%), engaging the
+    collapse machinery on near-dup-free corpora (q86 sf0.1: +2.5 s/run).
+    Pins (a) exactness and (b) whitespace-jitter normalization of the
+    statistic the decision reads."""
+    rows = (
+        [(i, f"unique sentence number {i} right here") for i in range(1, 8)]
+        + [(10, "dup text body"), (11, "dup text body")]
+        + [(12, "  dup   text  body ")]  # whitespace jitter == same digest
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stat = df.agg(
+        F.count_distinct(
+            F.xxhash64(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("r")
+    ).first()["r"]
+    assert stat == 8  # 7 unique + the 3-way dup group counted once
+
+
 def test_collapsed_clusters_auto_both_branches(spark):
     """collapse_exact='auto' must return the identical clusters whether
     the dup-mass stats trip the collapse (dup-heavy corpus) or skip it
